@@ -1,0 +1,155 @@
+"""Synthetic crawl universe (FIXTURES.md §2) — deterministic, seed-free.
+
+Everything is a pure function of murmur3 mixes of strings, so the
+sequential oracle and the Spark engine synthesize bit-identical inputs
+independently (no golden files, no RNG state threading, no network).
+
+The shapes model the reference crawler's world (WaPo article seeds,
+comment-page pagination cursors as outlinks, per-host politeness,
+robots.txt) re-typed to the graft's image+caption payload.
+"""
+
+from __future__ import annotations
+
+from ..functions.mmh3 import mix, murmur64
+
+SECTIONS = ("politics", "world", "sports", "opinions", "technology")
+SEED_HOST = "www.washingtonpost.com"
+N_HOSTS = 200  # host universe; hosts 0-4 are the hot ones (~60% of links)
+MAX_OUT = 8
+DUP_POOL = 500  # small path pool → ~10% natural cross-parent duplicates
+
+DEFAULT_CAPACITY = 4.0
+DEFAULT_REFILL = 2.0
+HOT_CAPACITY = 16.0
+HOT_REFILL = 8.0
+
+
+# ------------------------------------------------------------------- seeds
+
+def seed_urls(n: int) -> list[str]:
+    """WaPo-shaped article URLs: deterministic, canonical already."""
+    out = []
+    for i in range(n):
+        section = SECTIONS[mix("seed-section", i) % len(SECTIONS)]
+        yyyy = 2020 + mix("seed-y", i) % 6
+        mm = 1 + mix("seed-m", i) % 12
+        dd = 1 + mix("seed-d", i) % 28
+        out.append(
+            f"https://{SEED_HOST}/{section}/{yyyy}/{mm:02d}/{dd:02d}/art{i:06d}/"
+        )
+    return out
+
+
+# ------------------------------------------------------------------- hosts
+
+def host_name(idx: int) -> str:
+    return f"site{idx:03d}.example.org"
+
+
+def _host_for_link(url_hash: int, j: int, n_hosts: int) -> str:
+    v = mix(url_hash, j, "hostsel") % 100
+    if v < 60:
+        return host_name(v % 5)  # Zipf-ish head: hosts 0-4 get ~60%
+    return host_name(5 + mix(url_hash, j, "hosttail") % max(1, n_hosts - 5))
+
+
+# ---------------------------------------------------------------- outlinks
+
+def outlinks(canon_url: str, n_hosts: int = N_HOSTS) -> list[str]:
+    """Raw (pre-canonicalization) outlinks of a fetched page.
+
+    ``k = murmur64(url) mod (MAX_OUT+1)`` links; ~10% drawn from a small
+    shared pool (natural duplicates), ~5% mangled with fragments/utm/case/
+    default ports (canonicalizer work), ~5% robots-trap ``/private/`` paths.
+    """
+    uh = murmur64(canon_url)
+    k = mix(uh, "k") % (MAX_OUT + 1)
+    links = []
+    for j in range(k):
+        host = _host_for_link(uh, j, n_hosts)
+        section = SECTIONS[mix(uh, j, "sec") % len(SECTIONS)]
+        sel = mix(uh, j, "kind") % 20
+        if sel < 2:  # ~10%: duplicate pool
+            pool_id = mix(uh, j, "pool") % DUP_POOL
+            path = f"/{section}/pg/pool{pool_id:04d}/"
+        elif sel == 2:  # ~5%: robots trap
+            path = f"/private/{mix(uh, j, 'priv') % 10_000:04x}/"
+        else:
+            path = f"/{section}/pg/{mix(uh, j, 'p1'):08x}{mix(uh, j, 'p2') % 0x10000:04x}/"
+        url = f"https://{host}{path}"
+        mangle = mix(uh, j, "mangle") % 20
+        if mangle == 0:  # fragment + tracking params + stray param order
+            url += "?utm_source=feed&b=2&a=1#comments"
+        elif mangle == 1:  # uppercase host + default port
+            url = f"https://{host.upper()}:443{path}"
+        links.append(url)
+    return links
+
+
+# ------------------------------------------------------------------ robots
+
+def robots_rules(host: str) -> list[tuple[str, str, int]]:
+    """Deterministic per-host rules: list of (rule, path_prefix, order).
+
+    rule ∈ {'allow','disallow'}; evaluation = longest-prefix match wins,
+    tie → allow, no match → allow (see operators/robots.py + oracle).
+    """
+    hh = mix("robots", host)
+    rules: list[tuple[str, str, int]] = []
+    order = 0
+    if hh % 10 < 8:  # 80% of hosts disallow /private/
+        rules.append(("disallow", "/private/", order))
+        order += 1
+    n_extra = mix(hh, "n") % 4
+    for r in range(n_extra):
+        section = SECTIONS[mix(hh, r, "sec") % len(SECTIONS)]
+        kind = mix(hh, r, "kind") % 3
+        if kind == 0:
+            rules.append(("disallow", f"/{section}/", order))
+        elif kind == 1:
+            # allow-override longer than a disallow (exercises longest-match)
+            rules.append(("disallow", f"/{section}/", order))
+            rules.append(("allow", f"/{section}/pg/", order + 1))
+            order += 1
+        else:
+            rules.append(("disallow", f"/{section}/pg/pool", order))
+        order += 1
+    return rules
+
+
+def crawl_delay(host: str) -> float:
+    """~20% of hosts set Crawl-delay 1|2|5 (feeds token-bucket refill)."""
+    hh = mix("cdelay", host)
+    if hh % 5 == 0:
+        return float((1, 2, 5)[mix(hh, "v") % 3])
+    return 1.0
+
+
+def robots_txt(host: str) -> str:
+    """Render the host's rules as a robots.txt body (for parser tests
+    against stdlib urllib.robotparser).
+
+    stdlib uses first-match-in-order; our evaluator is RFC 9309
+    longest-match (tie → allow).  Rendering rules longest-prefix-first
+    with allow before disallow on ties makes the two semantics coincide,
+    so the stdlib cross-check exercises our evaluator meaningfully.
+    """
+    lines = ["User-agent: *"]
+    ordered = sorted(robots_rules(host),
+                     key=lambda r: (-len(r[1]), r[0] != "allow"))
+    for rule, prefix, _ in ordered:
+        lines.append(("Allow: " if rule == "allow" else "Disallow: ") + prefix)
+    cd = crawl_delay(host)
+    if cd != 1.0:
+        lines.append(f"Crawl-delay: {int(cd)}")
+    return "\n".join(lines) + "\n"
+
+
+# --------------------------------------------------------------- politeness
+
+def budget_for(host: str) -> tuple[float, float]:
+    """(capacity, refill_per_wave) — hot hosts get a bigger budget."""
+    if host in {host_name(i) for i in range(5)}:
+        return HOT_CAPACITY, HOT_REFILL
+    return DEFAULT_CAPACITY, DEFAULT_REFILL

@@ -1,0 +1,190 @@
+"""Image payload synthesis + codecs + phash (SURVEY.md §1.5) — spec twins.
+
+No PIL/cv2 in the environment (verified), so codecs are built from scratch
+on numpy + stdlib zlib.  These pure functions run identically in the
+sequential oracle and inside the Spark engine's Arrow-batched UDFs, making
+the per-row payload invariant (BASELINE.json:15 — decoded-pixel allclose,
+PSNR≥40dB for lossy, caption equality, phash int64) testable bit-for-bit.
+
+Formats:
+  raw    — ``arr.tobytes()`` prefixed by nothing (w/h/fmt travel as columns)
+  png    — minimal valid PNG (8-bit RGB, filter 0, single IDAT)
+  qlossy — lossy-by-construction: pixels floored to even values
+           (error ≤ 1 ⇒ MSE ≤ 1 ⇒ PSNR ≥ 10·log10(255²) ≈ 48.1 dB > 40 dB),
+           then zlib-compressed
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .mmh3 import mix
+
+FMTS = ("raw", "png", "qlossy")
+
+
+# ---------------------------------------------------------------- synthesis
+
+def dims_for(url_hash: int) -> tuple[int, int]:
+    """Deterministic (w, h) in [16, 64]."""
+    return 16 + mix(url_hash, "w") % 49, 16 + mix(url_hash, "h") % 49
+
+
+def fmt_for(url_hash: int) -> str:
+    return FMTS[mix(url_hash, "fmt") % 3]
+
+
+def image_id_for(url_hash: int) -> str:
+    return f"{url_hash & ((1 << 64) - 1):016x}"
+
+
+def synth_pixels(url_hash: int, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB uint8 (h, w, 3) — identical in oracle and engine."""
+    rng = np.random.Generator(np.random.PCG64(url_hash & ((1 << 64) - 1)))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def caption_for(image_id: str, host: str, wave: int) -> str:
+    return f"img {image_id} from {host} wave {wave}"
+
+
+# ---------------------------------------------------------------- PNG codec
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 per scanline
+    raw[:, 1:] = arr.reshape(h, w * 3)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    assert data[:8] == _PNG_SIG, "not a PNG"
+    pos, w = 8, 0
+    h = 0
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bits, ctype = struct.unpack(">IIBB", body[:10])
+            assert bits == 8 and ctype == 2, "only 8-bit RGB supported"
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * 3 + 1)
+    assert (raw[:, 0] == 0).all(), "only filter 0 supported"
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+# ------------------------------------------------------------- qlossy codec
+
+def qlossy_encode(arr: np.ndarray) -> bytes:
+    q = arr & 0xFE  # floor to even: |err| ≤ 1 ⇒ PSNR ≥ 48.1 dB
+    return zlib.compress(q.tobytes(), 6)
+
+
+def qlossy_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(zlib.decompress(data), dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+# ------------------------------------------------------------------ encode
+
+def encode(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return arr.tobytes()
+    if fmt == "png":
+        return png_encode(arr)
+    if fmt == "qlossy":
+        return qlossy_encode(arr)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    if fmt == "raw":
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "qlossy":
+        return qlossy_decode(data, w, h)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+# ------------------------------------------------------------------- phash
+
+def phash64(arr: np.ndarray) -> int:
+    """8×8 average-hash over the gray image, packed row-major MSB-first
+    into a signed int64.  Pure numpy — identical in oracle and engine."""
+    gray = arr.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    # box-downsample to 8×8 by averaging over (possibly uneven) blocks
+    row_parts = np.array_split(np.arange(h), 8)
+    col_parts = np.array_split(np.arange(w), 8)
+    small = np.empty((8, 8), dtype=np.float64)
+    for i, rp in enumerate(row_parts):
+        band = gray[rp]
+        for j, cp in enumerate(col_parts):
+            small[i, j] = band[:, cp].mean()
+    bits = (small > small.mean()).astype(np.uint64).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+# ------------------------------------------------ one-shot payload builder
+
+def payload_for(url_hash: int, host: str, wave: int) -> dict:
+    """The full deterministic page payload for a fetched URL.
+
+    Returns the exact columns of the binding ``pages`` input shape
+    (BASELINE.json:15): image_id, bytes, w, h, fmt, caption, phash.
+    phash is computed over the encoded-then-decoded pixels (what a reader
+    of the table can reproduce), so it is well-defined for lossy rows too.
+    """
+    w, h = dims_for(url_hash)
+    fmt = fmt_for(url_hash)
+    image_id = image_id_for(url_hash)
+    arr = synth_pixels(url_hash, w, h)
+    data = encode(arr, fmt)
+    stored = decode(data, fmt, w, h)
+    return {
+        "image_id": image_id,
+        "bytes": data,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption_for(image_id, host, wave),
+        "phash": phash64(stored),
+    }
