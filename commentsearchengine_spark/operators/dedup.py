@@ -1,0 +1,49 @@
+"""Ops D1/B3 — within-wave dedup + exact seen/frontier anti-joins.
+
+D1 keeps, per canonical URL, the candidate with the minimum
+(priority, disc_seq) — the oracle's min-parent rule (§1.4.3) that makes
+``disc_seq`` (and hence all later ordering) parallelism-independent.
+
+B3 is the exactness guarantee behind the bloom pre-filter: a plain
+``left_anti`` join.  Bloom may say "maybe seen" wrongly (FPR), never
+"new" wrongly, so ``definitely-new ∪ (maybe-seen ⟕̸ seen)`` is exact.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from ..fixtures import synth
+
+
+def dedup_within_wave(cands: DataFrame) -> DataFrame:
+    w = Window.partitionBy("canon_url").orderBy("priority", "disc_seq")
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def anti_join_exact(cands: DataFrame, seen: DataFrame) -> DataFrame:
+    return cands.join(seen.select("canon_url"), "canon_url", "left_anti")
+
+
+@pandas_udf(StructType([
+    StructField("capacity", DoubleType()),
+    StructField("refill_per_wave", DoubleType()),
+    StructField("crawl_delay", DoubleType()),
+]))
+def host_budget_udf(hosts: pd.Series) -> pd.DataFrame:
+    """Politeness budget provisioning for newly discovered hosts (in a
+    real crawler this would come from config/robots; here from the
+    deterministic fixture universe so oracle and engine agree)."""
+    rows = []
+    for h in hosts:
+        cap, refill = synth.budget_for(h)
+        rows.append((cap, refill, synth.crawl_delay(h)))
+    return pd.DataFrame(
+        rows, columns=["capacity", "refill_per_wave", "crawl_delay"])

@@ -1,0 +1,49 @@
+"""Binding engine table schemas (SURVEY.md §1.2) as Spark DDL strings.
+
+The ``pages`` prefix (image_id … phash) is the exact input-table shape
+required by BASELINE.json:15; the extension columns after it are
+engine-internal provenance.
+"""
+
+PAGES = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, "
+    "url string, canon_url string, host string, wave int, fetched_seq long"
+)
+
+FRONTIER = (
+    "canon_url string, host string, url_hash long, priority int, depth int, "
+    "disc_wave int, disc_seq long, parent_hash long"
+)
+
+SEEN = "canon_url string, url_hash long, first_wave int"
+
+HOSTS = (
+    "host string, tokens double, capacity double, refill_per_wave double, "
+    "crawl_delay double"
+)
+
+ROBOTS = "host string, rule string, path_prefix string, rule_order int"
+
+CRAWL_LOG = (
+    "wave int, host string, rank_in_host int, canon_url string, "
+    "global_seq long"
+)
+
+LINEAGE = (
+    "wave int, bucket int, fetched long, queued long, deduped long, "
+    "robots_blocked long, politeness_deferred long"
+)
+
+BLOOM_SHARDS = "shard int, nbits long, k int, bits binary"
+
+ALL_TABLES = {
+    "pages": PAGES,
+    "frontier": FRONTIER,
+    "seen": SEEN,
+    "hosts": HOSTS,
+    "robots": ROBOTS,
+    "crawl_log": CRAWL_LOG,
+    "lineage": LINEAGE,
+    "bloom_shards": BLOOM_SHARDS,
+}

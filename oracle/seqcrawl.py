@@ -41,12 +41,11 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
+from commentsearchengine_spark.config import DISC_SEQ_STRIDE
 from commentsearchengine_spark.fixtures import synth
 from commentsearchengine_spark.functions.imagecodec import payload_for
 from commentsearchengine_spark.functions.mmh3 import hash_str, murmur64
 from commentsearchengine_spark.functions.urlnorm import canonicalize, host_of, path_of
-
-DISC_SEQ_STRIDE = 1_000_000
 
 
 @dataclass

@@ -1,0 +1,52 @@
+"""Bloom shard build/probe: zero false negatives; FPR within ~2× theory."""
+
+import math
+
+from pyspark.sql import functions as F
+
+import commentsearchengine_spark.schemas as S
+from commentsearchengine_spark.config import EngineConfig
+from commentsearchengine_spark.functions.spark_cols import murmur64_col
+from commentsearchengine_spark.operators import bloom
+
+
+def _urls(spark, prefix, n):
+    return spark.range(n).select(
+        F.concat(F.lit(f"https://bloom.test/{prefix}/"),
+                 F.col("id").cast("string")).alias("canon_url")
+    ).withColumn("url_hash", murmur64_col(F.col("canon_url")))
+
+
+def test_no_false_negatives_and_fpr(spark):
+    cfg = EngineConfig(bloom_shards=4, bloom_nbits=1 << 16, bloom_k=5)
+    n = 4000
+    inserted = _urls(spark, "in", n)
+    empty = spark.createDataFrame([], S.BLOOM_SHARDS)
+    shards = bloom.build_shards(inserted, empty, cfg)
+    shards.persist().count()
+
+    probed_in = bloom.probe(inserted, shards, cfg)
+    assert probed_in.filter(~F.col("maybe_seen")).count() == 0  # no FN ever
+
+    other = _urls(spark, "out", n)
+    fp = bloom.probe(other, shards, cfg).filter(F.col("maybe_seen")).count()
+    # theoretical FPR for k hashes, m bits per shard, ~n/shards inserts
+    m, k = cfg.bloom_nbits, cfg.bloom_k
+    n_per = n / cfg.bloom_shards
+    p = (1 - math.exp(-k * n_per / m)) ** k
+    assert fp / n <= max(2 * p, 0.01), (fp / n, p)
+    shards.unpersist()
+
+
+def test_incremental_build_merges(spark):
+    cfg = EngineConfig(bloom_shards=4, bloom_nbits=1 << 16, bloom_k=5)
+    a, b = _urls(spark, "a", 500), _urls(spark, "b", 500)
+    empty = spark.createDataFrame([], S.BLOOM_SHARDS)
+    s1 = bloom.build_shards(a, empty, cfg)
+    s1.persist().count()
+    s2 = bloom.build_shards(b, s1, cfg)
+    s2.persist().count()
+    both = a.unionByName(b)
+    assert bloom.probe(both, s2, cfg).filter(~F.col("maybe_seen")).count() == 0
+    s1.unpersist()
+    s2.unpersist()

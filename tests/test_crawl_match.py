@@ -1,0 +1,109 @@
+"""Headline check (SURVEY §5.1): the distributed engine reproduces the
+sequential oracle EXACTLY — crawl ordering, URL-seen set, lineage
+counters, frontier, and per-row payloads — including at different
+parallelism, which proves the §1.4 tiebreaks are total."""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+
+import commentsearchengine_spark.schemas as S
+from commentsearchengine_spark.config import EngineConfig
+from commentsearchengine_spark.functions import imagecodec as ic
+from commentsearchengine_spark.plans.wave import run_crawl
+from oracle.seqcrawl import run_oracle
+
+
+def _run_engine(spark, cfg):
+    root = tempfile.mkdtemp(prefix="icelite-match-")
+    cat = run_crawl(spark, root, cfg)
+    return cat, root
+
+
+def _crawl_log(spark, cat):
+    return sorted(
+        tuple(r) for r in cat.scan(spark, "crawl_log", schema_ddl=S.CRAWL_LOG)
+        .select("wave", "host", "rank_in_host", "canon_url", "global_seq")
+        .collect())
+
+
+def _assert_match(spark, cat, o):
+    assert _crawl_log(spark, cat) == sorted(o.crawl_log)
+
+    eng_seen = sorted(
+        (r["canon_url"], r["url_hash"], r["first_wave"])
+        for r in cat.scan(spark, "seen", schema_ddl=S.SEEN).collect())
+    assert eng_seen == sorted((u, h, w) for u, (h, w) in o.seen.items())
+
+    eng_lin = sorted(
+        tuple(r) for r in cat.scan(spark, "lineage", schema_ddl=S.LINEAGE)
+        .collect())
+    assert eng_lin == sorted(o.lineage)
+
+    eng_fr = sorted(
+        (r["canon_url"], r["disc_seq"], r["priority"])
+        for r in cat.scan(spark, "frontier", schema_ddl=S.FRONTIER).collect())
+    assert eng_fr == sorted(
+        (u, e.disc_seq, e.priority) for u, e in o.frontier.items())
+
+
+@pytest.mark.parametrize("n_seeds,n_waves", [(3, 3), (25, 4)])
+def test_exact_match(spark, n_seeds, n_waves):
+    cfg = EngineConfig(n_seeds=n_seeds, n_waves=n_waves, n_buckets=32)
+    cat, root = _run_engine(spark, cfg)
+    try:
+        o = run_oracle(n_seeds, n_waves, cfg.n_buckets, cfg.n_hosts)
+        _assert_match(spark, cat, o)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_parallelism_independence(spark):
+    """Same input, different shuffle parallelism → identical crawl_log."""
+    cfg = EngineConfig(n_seeds=10, n_waves=2, n_buckets=16)
+    o = run_oracle(10, 2, 16, cfg.n_hosts)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    logs = []
+    try:
+        for parts in ("3", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            cat, root = _run_engine(spark, cfg)
+            try:
+                logs.append(_crawl_log(spark, cat))
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert logs[0] == logs[1] == sorted(o.crawl_log)
+
+
+def test_payload_invariants(spark):
+    """BASELINE.json:15 — decoded-pixel allclose (PSNR≥40 lossy) + caption
+    equality + phash bit-equality vs the reference payloads."""
+    cfg = EngineConfig(n_seeds=5, n_waves=2, n_buckets=16)
+    cat, root = _run_engine(spark, cfg)
+    try:
+        o = run_oracle(5, 2, 16, cfg.n_hosts)
+        opages = {p["canon_url"]: p for p in o.pages}
+        rows = cat.scan(spark, "pages", schema_ddl=S.PAGES).collect()
+        assert len(rows) == len(opages) > 0
+        for r in rows:
+            op = opages[r["canon_url"]]
+            assert r["caption"] == op["caption"]
+            assert r["phash"] == op["phash"]
+            assert (r["w"], r["h"], r["fmt"]) == (op["w"], op["h"], op["fmt"])
+            dec = ic.decode(bytes(r["bytes"]), r["fmt"], r["w"], r["h"])
+            ref = ic.decode(op["bytes"], op["fmt"], op["w"], op["h"])
+            assert np.array_equal(dec, ref)  # stored pixels bit-equal
+            orig = ic.synth_pixels(
+                int(r["image_id"], 16) - (1 << 64)
+                if int(r["image_id"], 16) >= (1 << 63)
+                else int(r["image_id"], 16), r["w"], r["h"])
+            if r["fmt"] == "qlossy":
+                assert ic.psnr(orig, dec) >= 40.0
+            else:
+                assert np.array_equal(orig, dec)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1,0 +1,72 @@
+"""icelite snapshot semantics: atomic commit, isolation, crash safety."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from commentsearchengine_spark.sources.icelite import Catalog
+
+
+@pytest.fixture
+def root():
+    d = tempfile.mkdtemp(prefix="icelite-unit-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_commit_and_scan(spark, root):
+    cat = Catalog(root).init()
+    df = spark.range(10).selectExpr("id", "id * 2 as v")
+    cat.stage_write(df, "t")
+    sid = cat.commit(wave=0, state={"x": 1})
+    assert sid == 1
+    got = sorted(tuple(r) for r in cat.scan(spark, "t").collect())
+    assert got == [(i, 2 * i) for i in range(10)]
+    assert cat.load_snapshot().state == {"x": 1}
+
+
+def test_staged_but_uncommitted_is_invisible(spark, root):
+    cat = Catalog(root).init()
+    cat.stage_write(spark.range(5), "t")
+    cat.commit(wave=0)
+    # stage new data, then "crash" before commit (new Catalog instance)
+    cat.stage_write(spark.range(100), "t")
+    fresh = Catalog(root)
+    assert fresh.current_snapshot_id() == 1
+    assert fresh.scan(spark, "t").count() == 5  # old snapshot intact
+
+
+def test_append_vs_overwrite(spark, root):
+    cat = Catalog(root).init()
+    cat.stage_write(spark.range(5), "t")
+    cat.commit(wave=0)
+    cat.stage_write(spark.range(5, 8), "t", mode="append")
+    cat.commit(wave=1)
+    assert cat.scan(spark, "t").count() == 8
+    cat.stage_write(spark.range(2), "t", mode="overwrite")
+    cat.commit(wave=2)
+    assert cat.scan(spark, "t").count() == 2
+    # time travel back
+    assert cat.scan(spark, "t", snapshot_id=2).count() == 8
+
+
+def test_carry_tables(spark, root):
+    cat = Catalog(root).init()
+    cat.stage_write(spark.range(3), "a")
+    cat.stage_write(spark.range(4), "b")
+    cat.commit(wave=0)
+    cat.stage_write(spark.range(9), "a")
+    cat.commit(wave=1)  # b carried over untouched
+    assert cat.scan(spark, "a").count() == 9
+    assert cat.scan(spark, "b").count() == 4
+
+
+def test_empty_table_scan_uses_schema(spark, root):
+    cat = Catalog(root).init()
+    cat.stage_write(spark.range(1), "t")
+    cat.commit(wave=0)
+    df = cat.scan(spark, "missing", schema_ddl="a int, b string")
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["a", "b"]
