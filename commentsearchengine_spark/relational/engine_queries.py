@@ -1,0 +1,184 @@
+"""Rows-only driver queries exercising the crawl engine + image pipeline.
+
+These run the actual product (the wave-synchronous crawler of
+plans/wave.py) and the multimodal payload path (imagecodec) through the
+driver contract.  They are not SQL-expressible (stateful multi-wave
+iteration, binary image codecs), so the driver records the weaker
+rows-only check (SURVEY.md §2.B); bit-exactness vs the sequential oracle
+is enforced separately by tests/test_crawl_match.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import schemas
+from ..config import EngineConfig
+from ..plans.wave import run_crawl
+from ..sources.icelite import Catalog
+
+_DEMO_CFG = EngineConfig(n_seeds=6, n_waves=2, n_buckets=16, bloom_shards=4)
+_crawl_cache: dict[str, str] = {}
+
+
+def _demo_catalog(spark: SparkSession) -> Catalog:
+    """Run (once per process) a small deterministic crawl; reuse after."""
+    key = _DEMO_CFG.config_hash()
+    if key not in _crawl_cache:
+        root = tempfile.mkdtemp(prefix="cse_demo_crawl_")
+        run_crawl(spark, root, _DEMO_CFG)
+        _crawl_cache[key] = root
+    return Catalog(_crawl_cache[key])
+
+
+def q_crawl_log(spark: SparkSession, sf: str) -> DataFrame:
+    """The headline artifact: deterministic crawl ordering (op O1)."""
+    cat = _demo_catalog(spark)
+    return cat.scan(spark, "crawl_log", schema_ddl=schemas.CRAWL_LOG).orderBy(
+        "global_seq"
+    )
+
+
+def q_crawl_frontier_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Frontier composition after the run: depth/priority histogram."""
+    cat = _demo_catalog(spark)
+    fr = cat.scan(spark, "frontier", schema_ddl=schemas.FRONTIER)
+    return fr.groupBy("depth", "disc_wave").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("host").alias("n_hosts"),
+    )
+
+
+def q_crawl_lineage(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-partition lineage counters (op L1) across all waves."""
+    cat = _demo_catalog(spark)
+    return cat.scan(spark, "lineage", schema_ddl=schemas.LINEAGE).groupBy(
+        "wave"
+    ).agg(
+        F.sum("fetched").alias("fetched"),
+        F.sum("queued").alias("queued"),
+        F.sum("deduped").alias("deduped"),
+        F.sum("robots_blocked").alias("robots_blocked"),
+        F.sum("politeness_deferred").alias("politeness_deferred"),
+    )
+
+
+def q_pages_payload_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode every stored page (op F2 inverse) and verify the binding
+    per-row invariant (BASELINE.json:15): decoded-pixel allclose
+    (PSNR >= 40 dB for qlossy, exact for raw/png) + caption equality +
+    phash match — inside a vectorized mapInPandas pass."""
+    from ..functions import imagecodec as ic
+
+    cat = _demo_catalog(spark)
+    pages = cat.scan(spark, "pages", schema_ddl=schemas.PAGES)
+
+    def verify(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                stored = ic.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                true_hash = int.from_bytes(
+                    bytes.fromhex(r.image_id), "big", signed=True
+                )
+                ref = ic.synth_pixels(true_hash, int(r.w), int(r.h))
+                p = ic.psnr(ref, stored)
+                ok_pix = p >= 40.0 or p == float("inf")
+                ok_cap = r.caption == ic.caption_for(
+                    r.image_id, r.host, int(r.wave)
+                )
+                ok_ph = ic.phash64(stored) == int(r.phash)
+                out.append(
+                    {
+                        "fmt": r.fmt,
+                        "pixels_ok": bool(ok_pix),
+                        "caption_ok": bool(ok_cap),
+                        "phash_ok": bool(ok_ph),
+                        "psnr_floor": float(min(p, 99.0)),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "fmt", "pixels_ok", "caption_ok", "phash_ok", "psnr_floor"
+                ],
+            )
+
+    checked = pages.mapInPandas(
+        verify,
+        schema=(
+            "fmt string, pixels_ok boolean, caption_ok boolean,"
+            " phash_ok boolean, psnr_floor double"
+        ),
+    )
+    return checked.groupBy("fmt").agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.col("pixels_ok").cast("long")).alias("n_pixels_ok"),
+        F.sum(F.col("caption_ok").cast("long")).alias("n_caption_ok"),
+        F.sum(F.col("phash_ok").cast("long")).alias("n_phash_ok"),
+        F.round(F.min("psnr_floor"), 2).alias("min_psnr"),
+    )
+
+
+def q_image_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal feature extraction over an opaque-binary image column:
+    synthesize deterministic images keyed by embeddings.vec_id, then a
+    vectorized decode -> grayscale-stats -> phash pass (mapInPandas).
+    The Spark plumbing (schema, Arrow batches, partition-parallel decode)
+    is the real thing; synthesis stands in for reading stored bytes."""
+    from ..functions import imagecodec as ic
+    from ..functions.mmh3 import murmur64
+
+    (emb,) = (
+        spark.read.parquet(f"{sf}/embeddings.parquet"),
+    )
+    ids = emb.select("vec_id")
+
+    def featurize(batches):
+        for pdf in batches:
+            out = []
+            for vid in pdf["vec_id"]:
+                uh = murmur64(f"img-{int(vid)}")
+                w, h = ic.dims_for(uh)
+                fmt = ic.fmt_for(uh)
+                arr = ic.synth_pixels(uh, w, h)
+                data = ic.encode(arr, fmt)
+                dec = ic.decode(data, fmt, w, h)
+                gray = dec.astype("float64").mean(axis=2)
+                out.append(
+                    {
+                        "vec_id": int(vid),
+                        "fmt": fmt,
+                        "w": int(w),
+                        "h": int(h),
+                        "n_bytes": len(data),
+                        "mean_lum": round(float(gray.mean()), 4),
+                        "phash": ic.phash64(dec),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "vec_id", "fmt", "w", "h", "n_bytes", "mean_lum", "phash"
+                ],
+            )
+
+    return ids.repartition(8).mapInPandas(
+        featurize,
+        schema=(
+            "vec_id long, fmt string, w int, h int, n_bytes long,"
+            " mean_lum double, phash long"
+        ),
+    )
+
+
+QUERIES: dict[str, tuple] = {
+    "crawl_log": (q_crawl_log, None),
+    "crawl_frontier_depth": (q_crawl_frontier_depth, None),
+    "crawl_lineage": (q_crawl_lineage, None),
+    "pages_payload_verify": (q_pages_payload_verify, None),
+    "image_feature_extract": (q_image_feature_extract, None),
+}

@@ -1,0 +1,665 @@
+"""Training-data pipeline operators over `documents` / `embeddings`.
+
+Large-scale dataset curation ops a 100 TB crawl corpus needs downstream
+of the engine: exact + near deduplication (MinHash/LSH, SimHash, n-gram
+Jaccard), document fingerprinting, language-ID, quality scoring, token
+counting, and embedding similarity search (brute-force + hyperplane-LSH
+bucketed ANN).
+
+Everything is pure Column/HOF expressions (JVM-side, whole-stage
+codegen; zero Python in the hot path) and every hash is md5-hex-based so
+the DuckDB oracle can reproduce signatures bit-for-bit — the driver's
+value-hash compare then checks the FULL pipeline (shingle -> minhash ->
+band -> bucket-join -> verify), not just row counts.
+
+At cluster scale: the LSH band self-join shuffles on band_hash (small:
+32 bytes x docs x 4), never on raw text; the ANN bucket join shuffles on
+an 8-bit bucket id, not the 64-float vectors; exact verification runs
+only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .util import load
+
+_HEX = "0123456789abcdef"
+
+# words = distinct tokens of lower(text) split on /[^a-z0-9]+/
+_WORDS = (
+    "array_distinct(filter(split(lower(text), '[^a-z0-9]+'), x -> x != ''))"
+)
+_SQL_WORDS = (
+    "list_distinct(list_filter(regexp_split_to_array(lower(text),"
+    " '[^a-z0-9]+'), x -> x <> ''))"
+)
+# all token occurrences (for frequency-weighted ops)
+_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> '')"
+)
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+HAMMING_MAX = 6
+ANN_PLANES = 8
+COSINE_THRESHOLD = 0.3
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash, keep min doc_id.
+
+    At 100 TB this is the canonical first pass: shuffle 16-byte hashes,
+    not documents."""
+    (docs,) = load(spark, sf, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+
+# sig[i] = min over word-shingles of md5(i || '|' || shingle); md5-hex min
+# is a valid minwise hash and is engine-portable.
+_SIGS = f"""
+transform(sequence(0, {N_MINHASH - 1}),
+          i -> array_min(transform({_WORDS},
+                                   w -> md5(concat(cast(i as string), '|', w)))))
+"""
+_SQL_SIGS = f"""
+list_transform(range({N_MINHASH}),
+               i -> list_aggregate(
+                      list_transform({_SQL_WORDS},
+                                     w -> md5(i::VARCHAR || '|' || w)),
+                      'min'))
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    (docs,) = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"array_join({_SIGS}, ',')").alias("minhash_sig"),
+    )
+
+
+SQL_MINHASH_SIGNATURES = f"""
+SELECT doc_id, array_to_string({_SQL_SIGS}, ',') AS minhash_sig
+FROM documents
+"""
+
+
+def q_lsh_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup: shingle -> minhash -> band -> bucket-join ->
+    exact-Jaccard verify.  Banding makes the self-join shuffle on 16-byte
+    band hashes; only bucket collisions pay the exact set comparison."""
+    (docs,) = load(spark, sf, "documents")
+    rows_per_band = N_MINHASH // N_BANDS
+    base = docs.select(
+        "doc_id",
+        F.expr(_WORDS).alias("words"),
+        F.expr(_SIGS).alias("sigs"),
+    )
+    banded = base.select(
+        "doc_id",
+        "words",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), b -> md5(concat("
+                f"cast(b as string), '|', array_join("
+                f"slice(sigs, b * {rows_per_band} + 1, {rows_per_band}), '|')"
+                f")))"
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("words").alias("words_a"),
+        "band",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("words").alias("words_b"),
+        F.col("band").alias("band_r"),
+        F.col("band_hash").alias("band_hash_r"),
+    )
+    cand = (
+        left.join(
+            right,
+            (left.band_hash == right.band_hash_r)
+            & (left.band == right.band_r)
+            & (left.doc_a < right.doc_b),
+        )
+        .select("doc_a", "doc_b", "words_a", "words_b")
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("words_a", "words_b")) / F.size(
+        F.array_union("words_a", "words_b")
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_LSH_NEAR_DUP_PAIRS = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_WORDS} AS words, {_SQL_SIGS} AS sigs FROM documents),
+banded AS (
+  SELECT doc_id, words, u.band AS band, u.band_hash AS band_hash
+  FROM (SELECT doc_id, words,
+               unnest(list_transform(range({N_BANDS}),
+                 b -> {{'band': b,
+                        'band_hash': md5(b::VARCHAR || '|' ||
+                          array_to_string(sigs[b * {N_MINHASH // N_BANDS} + 1
+                                  : (b + 1) * {N_MINHASH // N_BANDS}], '|'))}}))
+                 AS u
+        FROM base)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.words AS words_a, b.words AS words_b
+  FROM banded a JOIN banded b
+    ON a.band_hash = b.band_hash AND a.band = b.band
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         round(CAST(len(list_intersect(words_a, words_b)) AS DOUBLE)
+               / len(list_distinct(list_concat(words_a, words_b))), 6)
+           AS jaccard
+  FROM cand)
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+# bit b of token t = parity of first hex digit of md5(t || ':' || b);
+# simhash bit b set iff sum over token OCCURRENCES of (2*bit - 1) > 0.
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    (docs,) = load(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
+    bits = toks.select(
+        "doc_id",
+        "term",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    ).withColumn(
+        "contrib",
+        (
+            (
+                F.instr(
+                    F.lit(_HEX),
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("term"),
+                                F.lit(":"),
+                                F.col("b").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                )
+                - 1
+            )
+            % 2
+        )
+        * 2
+        - 1,
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    # shiftleft needs a column shift amount -> SQL expr
+                    F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).cast("long").alias("simhash")
+        )
+    )
+
+
+SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         ((strpos('{_HEX}', substr(md5(term || ':' || b.b::VARCHAR), 1, 1))
+           - 1) % 2) * 2 - 1 AS contrib
+  FROM toks CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS b) b),
+votes AS (
+  SELECT doc_id, b, sum(contrib) AS v FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup: pairs within Hamming distance <= HAMMING_MAX."""
+    sh = q_simhash(spark, sf)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, a.doc_a < b.doc_b)
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SQL_SIMHASH_NEAR_PAIRS = f"""
+WITH sh AS ({SQL_SIMHASH})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+
+# --------------------------------------------------------------------------
+# fingerprinting / lang-id / quality / token counts
+# --------------------------------------------------------------------------
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint: bottom-4 sketch of rolling char-8-gram
+    hashes (a winnowing-style content fingerprint)."""
+    (docs,) = load(spark, sf, "documents")
+    grams = (
+        "array_distinct(transform(sequence(1, length(text) - 7),"
+        " i -> md5(substr(lower(text), i, 8))))"
+    )
+    return docs.filter(F.length("text") >= 8).select(
+        "doc_id",
+        F.expr(
+            f"array_join(slice(array_sort({grams}), 1, 4), ',')"
+        ).alias("fingerprint"),
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       array_to_string(
+         list_sort(list_distinct(
+           list_transform(range(1, len(text) - 6),
+                          i -> md5(substr(lower(text), i, 8)))))[1:4], ',')
+         AS fingerprint
+FROM documents WHERE len(text) >= 8
+"""
+
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "fast"),
+    "es": ("data", "table", "row"),
+    "de": ("merge", "join", "group"),
+}
+
+
+def q_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-word language-ID heuristic: argmax of marker-set overlap,
+    ties broken by language code ascending."""
+    (docs,) = load(spark, sf, "documents")
+    d = docs.withColumn("words", F.expr(_WORDS))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (-F.size(
+                            F.array_intersect(
+                                "words",
+                                F.array(*[F.lit(m) for m in marks]),
+                            )
+                        )).alias("neg_score"),
+                        F.lit(code).alias("code"),
+                    )
+                    for code, marks in sorted(_LANG_MARKERS.items())
+                ]
+            )
+        )[0].alias("best"),
+    )
+    return scored.select(
+        "doc_id",
+        F.col("best.code").alias("pred_lang"),
+        (-F.col("best.neg_score")).cast("long").alias("marker_hits"),
+        (F.col("best.code") == F.col("lang")).cast("long").alias("is_match"),
+    )
+
+
+def _sql_lang_score(marks: tuple) -> str:
+    lits = ", ".join(f"'{m}'" for m in marks)
+    return f"len(list_intersect({_SQL_WORDS}, [{lits}]))"
+
+
+SQL_LANGID = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         list_sort([
+           {", ".join(
+               "{'neg_score': -" + _sql_lang_score(marks)
+               + ", 'code': '" + code + "'}"
+               for code, marks in sorted(_LANG_MARKERS.items())
+           )}
+         ])[1] AS best
+  FROM documents)
+SELECT doc_id, best.code AS pred_lang,
+       CAST(-best.neg_score AS BIGINT) AS marker_hits,
+       CAST(best.code = lang AS BIGINT) AS is_match
+FROM scored
+"""
+
+
+def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic quality scoring: length / stopword-ratio / mean token
+    length -> logistic score (the standard cheap pre-filter before
+    training-data inclusion)."""
+    (docs,) = load(spark, sf, "documents")
+    d = docs.withColumn("toks", F.expr(_TOKS))
+    n_toks = F.size("toks").cast("double")
+    stop_hits = F.size(
+        F.filter("toks", lambda x: (x == "the") | (x == "a"))
+    ).cast("double")
+    mean_len = F.aggregate(
+        "toks", F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    ) / n_toks
+    score = 1.0 / (
+        1.0
+        + F.exp(
+            -(
+                0.5 * F.log(n_toks)
+                - 2.0 * (stop_hits / n_toks)
+                - 0.1 * mean_len
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        n_toks.cast("long").alias("n_tokens"),
+        F.round(stop_hits / n_toks, 6).alias("stopword_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_toks,
+         CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+           AS stop_hits,
+         list_aggregate(list_transform(toks, x -> CAST(len(x) AS DOUBLE)),
+                        'sum') / CAST(len(toks) AS DOUBLE) AS mean_len
+  FROM d)
+SELECT doc_id,
+       CAST(n_toks AS BIGINT) AS n_tokens,
+       round(stop_hits / n_toks, 6) AS stopword_ratio,
+       round(mean_len, 6) AS mean_token_len,
+       round(1.0 / (1.0 + exp(-(0.5 * ln(n_toks) - 2.0 * (stop_hits / n_toks)
+                                - 0.1 * mean_len))), 6) AS quality
+FROM m
+"""
+
+
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex."""
+    (docs,) = load(spark, sf, "documents")
+    bpe = "([a-z]+|[0-9]+|[^a-z0-9\\s])"
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", "\\s+"), lambda x: x != F.lit(""))
+        ).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(bpe))).cast(
+            "long"
+        ).alias("bpe_tokens"),
+        F.length("text").cast("long").alias("chars"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])'))
+            AS BIGINT) AS bpe_tokens,
+       CAST(len(text) AS BIGINT) AS chars
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# embedding similarity search
+# --------------------------------------------------------------------------
+
+_DOT = (
+    "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double),"
+    " (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate({v}, cast(0.0 as double), (acc, x) -> acc + x * x))"
+)
+
+
+def _with_double_vec(df: DataFrame, out: str = "vec") -> DataFrame:
+    return df.withColumn(out, F.col("embedding").cast("array<double>"))
+
+
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbours for the query subset
+    (vec_id % 50 == 0).  The scale baseline: broadcast the small query
+    side; each executor scans its shard of the corpus once."""
+    (emb,) = load(spark, sf, "embeddings")
+    emb = _with_double_vec(emb)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("va")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("vb")
+    )
+    sim = F.expr(_DOT) / (
+        F.expr(_NORM.format(v="va")) * F.expr(_NORM.format(v="vb"))
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(sim, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.vec, c.vec)
+               / (sqrt(list_dot_product(q.vec, q.vec))
+                  * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cosine
+  FROM (SELECT * FROM e WHERE vec_id % 50 = 0) q
+  JOIN e c ON q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+           AS rank
+  FROM pairs) WHERE rank <= 5
+"""
+
+
+# hyperplane-LSH: plane p has ±1 components c(p,d) from md5 parity; the
+# bucket id is the 8-bit sign pattern of the 8 projections.
+_PLANE_DOT = (
+    "aggregate(zip_with(vec, transform(sequence(0, 63),"
+    " d -> cast(((instr('" + _HEX + "', substr(md5(concat("
+    "cast(p as string), ',', cast(d as string))), 1, 1)) - 1) % 2) * 2 - 1"
+    " as double)), (x, c) -> x * c), cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_BUCKET = (
+    f"aggregate(transform(sequence(0, {ANN_PLANES - 1}),"
+    f" p -> IF({_PLANE_DOT} > 0, shiftleft(cast(1 as bigint), p),"
+    f" cast(0 as bigint))), cast(0 as bigint), (acc, v) -> acc + v)"
+)
+
+_SQL_PLANE_DOT = (
+    "list_aggregate(list_transform(range(64),"
+    " d -> vec[d + 1] * (((strpos('" + _HEX + "', substr(md5(p::VARCHAR ||"
+    " ',' || d::VARCHAR), 1, 1)) - 1) % 2) * 2 - 1)), 'sum')"
+)
+_SQL_BUCKET = (
+    f"list_aggregate(list_transform(range({ANN_PLANES}),"
+    f" p -> CASE WHEN {_SQL_PLANE_DOT} > 0 THEN (1::BIGINT << p)"
+    f" ELSE 0::BIGINT END), 'sum')"
+)
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH bucket assignment (the ANN scale path): 64-float
+    vectors reduce to an 8-bit bucket id before any join."""
+    (emb,) = load(spark, sf, "embeddings")
+    emb = _with_double_vec(emb)
+    return emb.select(
+        "vec_id",
+        F.expr(_BUCKET).cast("long").alias("bucket"),
+    )
+
+
+SQL_ANN_LSH_BUCKETS = f"""
+SELECT vec_id, CAST({_SQL_BUCKET} AS BIGINT) AS bucket
+FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+"""
+
+
+def q_ann_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed ANN: candidate pairs share an LSH bucket; exact cosine
+    verification only inside buckets (shuffle key = 8-bit bucket)."""
+    (emb,) = load(spark, sf, "embeddings")
+    emb = _with_double_vec(emb)
+    b = emb.select("vec_id", "vec", F.expr(_BUCKET).alias("bucket"))
+    left = b.select(
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), "bucket"
+    )
+    right = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("bucket").alias("bucket_r"),
+    )
+    sim = F.expr(_DOT) / (
+        F.expr(_NORM.format(v="va")) * F.expr(_NORM.format(v="vb"))
+    )
+    return (
+        left.join(
+            right,
+            (left.bucket == right.bucket_r) & (left.id_a < right.id_b),
+        )
+        .withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("id_a", "id_b", "bucket", "cosine")
+    )
+
+
+SQL_ANN_LSH_PAIRS = f"""
+WITH b AS (
+  SELECT vec_id, vec, {_SQL_BUCKET} AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings))
+SELECT id_a, id_b, bucket, cosine FROM (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.bucket AS bucket,
+         round(list_dot_product(a.vec, b2.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(b2.vec, b2.vec))), 6) AS cosine
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+WHERE cosine >= {COSINE_THRESHOLD}
+"""
+
+
+def q_array_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """Array higher-order functions over embeddings: filter positives,
+    square, sum; plus array_max/size."""
+    (emb,) = load(spark, sf, "embeddings")
+    emb = _with_double_vec(emb)
+    pos_energy = F.aggregate(
+        F.transform(
+            F.filter("vec", lambda x: x > 0), lambda x: x * x
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(pos_energy, 6).alias("pos_energy"),
+        F.round(F.array_max("vec"), 6).alias("max_component"),
+        F.size("vec").cast("long").alias("dim"),
+    )
+
+
+SQL_ARRAY_HOF = """
+SELECT vec_id,
+       round(list_aggregate(
+               list_transform(list_filter(vec, x -> x > 0), x -> x * x),
+               'sum'), 6) AS pos_energy,
+       round(list_aggregate(vec, 'max'), 6) AS max_component,
+       CAST(len(vec) AS BIGINT) AS dim
+FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "lsh_near_dup_pairs": (q_lsh_near_dup_pairs, SQL_LSH_NEAR_DUP_PAIRS),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR_PAIRS),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "langid": (q_langid, SQL_LANGID),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
+    "ann_lsh_pairs": (q_ann_lsh_pairs, SQL_ANN_LSH_PAIRS),
+    "array_hof": (q_array_hof, SQL_ARRAY_HOF),
+}
