@@ -24,12 +24,23 @@ class EngineConfig:
     bloom_shards: int = 16
     bloom_nbits: int = 1 << 20   # bits per shard
     bloom_k: int = 5
+    # probe strategy switch (operators/bloom.py): filters up to this total
+    # size broadcast to workers (shuffle-free probe); larger ones cogroup
+    # per shard.  Does not affect results, only the physical plan.
+    bloom_broadcast_max_bytes: int = 64 << 20
     # hot-host salting (op P0b): hosts with more admitted rows than this
     # per wave get split into `salt_factor` sub-partitions for fetch
     skew_threshold: int = 10_000
-    salt_factor: int = 8
-    # Arrow batch sizing: image rows are fat (SURVEY §4)
-    arrow_batch_rows: int = 512
+    salt_factor: int = 32
+    # Arrow batch sizing: image rows are fat (SURVEY §4), but batches
+    # that are too small multiply JVM<->Python round-trips — measured
+    # 2x wave wall-time at 512 rows vs 4096 on 32 cores.  4096 rows
+    # x ~5 KB/page ~= 20 MB per in-flight batch per worker.
+    arrow_batch_rows: int = 4096
+    # bench knobs (affect semantics => part of config_hash; parity tests
+    # exercise them at small scale)
+    seed_spread_hosts: int = 0   # 0 = all seeds on the WaPo host
+    budget_scale: float = 1.0    # multiplies politeness capacity/refill
 
     def config_hash(self) -> str:
         """Hash of the semantics-affecting parameters.  ``n_waves`` is a

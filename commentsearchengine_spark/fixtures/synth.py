@@ -11,7 +11,7 @@ robots.txt) re-typed to the graft's image+caption payload.
 
 from __future__ import annotations
 
-from ..functions.mmh3 import mix, murmur64
+from ..functions.mmh3 import mix, murmur64, splitmix64
 
 SECTIONS = ("politics", "world", "sports", "opinions", "technology")
 SEED_HOST = "www.washingtonpost.com"
@@ -27,16 +27,23 @@ HOT_REFILL = 8.0
 
 # ------------------------------------------------------------------- seeds
 
-def seed_urls(n: int) -> list[str]:
-    """WaPo-shaped article URLs: deterministic, canonical already."""
+def seed_urls(n: int, spread_hosts: int = 0) -> list[str]:
+    """WaPo-shaped article URLs: deterministic, canonical already.
+
+    ``spread_hosts > 0`` distributes seeds round-robin over the host
+    universe instead of the single WaPo host — used by the throughput
+    bench so wave-1 admission is not throttled by one host's politeness
+    budget.  Semantics are identical in oracle and engine (both call
+    this function), so parity tests cover spread mode too."""
     out = []
     for i in range(n):
+        host = SEED_HOST if spread_hosts <= 0 else host_name(i % spread_hosts)
         section = SECTIONS[mix("seed-section", i) % len(SECTIONS)]
         yyyy = 2020 + mix("seed-y", i) % 6
         mm = 1 + mix("seed-m", i) % 12
         dd = 1 + mix("seed-d", i) % 28
         out.append(
-            f"https://{SEED_HOST}/{section}/{yyyy}/{mm:02d}/{dd:02d}/art{i:06d}/"
+            f"https://{host}/{section}/{yyyy}/{mm:02d}/{dd:02d}/art{i:06d}/"
         )
     return out
 
@@ -47,38 +54,41 @@ def host_name(idx: int) -> str:
     return f"site{idx:03d}.example.org"
 
 
-def _host_for_link(url_hash: int, j: int, n_hosts: int) -> str:
-    v = mix(url_hash, j, "hostsel") % 100
-    if v < 60:
-        return host_name(v % 5)  # Zipf-ish head: hosts 0-4 get ~60%
-    return host_name(5 + mix(url_hash, j, "hosttail") % max(1, n_hosts - 5))
-
-
 # ---------------------------------------------------------------- outlinks
 
 def outlinks(canon_url: str, n_hosts: int = N_HOSTS) -> list[str]:
     """Raw (pre-canonicalization) outlinks of a fetched page.
 
-    ``k = murmur64(url) mod (MAX_OUT+1)`` links; ~10% drawn from a small
+    ``k = splitmix64(uh) mod (MAX_OUT+1)`` links; ~10% drawn from a small
     shared pool (natural duplicates), ~5% mangled with fragments/utm/case/
     default ports (canonicalizer work), ~5% robots-trap ``/private/`` paths.
+
+    Hot-loop note: all per-link fields come from two splitmix64 rounds
+    (bit-sliced) instead of murmur-over-string mixes — this function runs
+    once per fetched page inside the engine's Arrow batches and was the
+    dominant Python cost of the fetch stage.
     """
     uh = murmur64(canon_url)
-    k = mix(uh, "k") % (MAX_OUT + 1)
+    k = splitmix64(uh) % (MAX_OUT + 1)
     links = []
     for j in range(k):
-        host = _host_for_link(uh, j, n_hosts)
-        section = SECTIONS[mix(uh, j, "sec") % len(SECTIONS)]
-        sel = mix(uh, j, "kind") % 20
-        if sel < 2:  # ~10%: duplicate pool
-            pool_id = mix(uh, j, "pool") % DUP_POOL
-            path = f"/{section}/pg/pool{pool_id:04d}/"
-        elif sel == 2:  # ~5%: robots trap
-            path = f"/private/{mix(uh, j, 'priv') % 10_000:04x}/"
+        z = splitmix64(uh ^ (0xD1B54A32D192ED03 * (j + 1) & 0xFFFFFFFFFFFFFFFF))
+        z2 = splitmix64(z)
+        hostsel = z % 100
+        if hostsel < 60:  # Zipf-ish head: hosts 0-4 get ~60%
+            host = host_name(hostsel % 5)
         else:
-            path = f"/{section}/pg/{mix(uh, j, 'p1'):08x}{mix(uh, j, 'p2') % 0x10000:04x}/"
+            host = host_name(5 + (z >> 7) % max(1, n_hosts - 5))
+        section = SECTIONS[(z >> 28) % len(SECTIONS)]
+        sel = (z >> 33) % 20
+        if sel < 2:  # ~10%: duplicate pool
+            path = f"/{section}/pg/pool{(z >> 38) % DUP_POOL:04d}/"
+        elif sel == 2:  # ~5%: robots trap
+            path = f"/private/{(z >> 48) % 10_000:04x}/"
+        else:
+            path = f"/{section}/pg/{z2 & 0xFFFFFFFF:08x}{(z2 >> 32) & 0xFFFF:04x}/"
         url = f"https://{host}{path}"
-        mangle = mix(uh, j, "mangle") % 20
+        mangle = (z2 >> 48) % 20
         if mangle == 0:  # fragment + tracking params + stray param order
             url += "?utm_source=feed&b=2&a=1#comments"
         elif mangle == 1:  # uppercase host + default port
@@ -148,8 +158,13 @@ def robots_txt(host: str) -> str:
 
 # --------------------------------------------------------------- politeness
 
-def budget_for(host: str) -> tuple[float, float]:
-    """(capacity, refill_per_wave) — hot hosts get a bigger budget."""
+def budget_for(host: str, scale: float = 1.0) -> tuple[float, float]:
+    """(capacity, refill_per_wave) — hot hosts get a bigger budget.
+
+    ``scale`` multiplies both (bench knob: larger politeness budgets =>
+    larger waves, so fetch CPU dominates fixed per-wave overhead —
+    SURVEY.md §6 protocol note).  Oracle and engine receive the same
+    scale through their configs."""
     if host in {host_name(i) for i in range(5)}:
-        return HOT_CAPACITY, HOT_REFILL
-    return DEFAULT_CAPACITY, DEFAULT_REFILL
+        return HOT_CAPACITY * scale, HOT_REFILL * scale
+    return DEFAULT_CAPACITY * scale, DEFAULT_REFILL * scale

@@ -21,20 +21,28 @@ import zlib
 
 import numpy as np
 
-from .mmh3 import mix
+from .mmh3 import splitmix64
 
 FMTS = ("raw", "png", "qlossy")
+_M64 = (1 << 64) - 1
 
 
 # ---------------------------------------------------------------- synthesis
+# per-image fields are bit-slices of one splitmix64 round (cheap: these
+# run once per fetched row inside Arrow batches)
+
+def _z(url_hash: int) -> int:
+    return splitmix64(url_hash & _M64)
+
 
 def dims_for(url_hash: int) -> tuple[int, int]:
     """Deterministic (w, h) in [16, 64]."""
-    return 16 + mix(url_hash, "w") % 49, 16 + mix(url_hash, "h") % 49
+    z = _z(url_hash)
+    return 16 + z % 49, 16 + (z >> 8) % 49
 
 
 def fmt_for(url_hash: int) -> str:
-    return FMTS[mix(url_hash, "fmt") % 3]
+    return FMTS[(_z(url_hash) >> 17) % 3]
 
 
 def image_id_for(url_hash: int) -> str:
@@ -143,23 +151,30 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 # ------------------------------------------------------------------- phash
 
+def _split_starts(n: int, parts: int = 8) -> tuple[list[int], np.ndarray]:
+    """Start offsets + lengths of ``np.array_split(range(n), parts)``."""
+    q, r = divmod(n, parts)
+    starts = [i * q + min(i, r) for i in range(parts)]
+    lens = np.diff(starts + [n]).astype(np.float64)
+    return starts, lens
+
+
 def phash64(arr: np.ndarray) -> int:
     """8×8 average-hash over the gray image, packed row-major MSB-first
-    into a signed int64.  Pure numpy — identical in oracle and engine."""
+    into a signed int64.  Fully vectorized (block sums via
+    ``np.add.reduceat``) — this runs per row inside the engine's Arrow
+    batches, so it must not loop in Python.  Identical code in oracle
+    and engine keeps phash bit-equal between them."""
     gray = arr.astype(np.float64).mean(axis=2)
     h, w = gray.shape
-    # box-downsample to 8×8 by averaging over (possibly uneven) blocks
-    row_parts = np.array_split(np.arange(h), 8)
-    col_parts = np.array_split(np.arange(w), 8)
-    small = np.empty((8, 8), dtype=np.float64)
-    for i, rp in enumerate(row_parts):
-        band = gray[rp]
-        for j, cp in enumerate(col_parts):
-            small[i, j] = band[:, cp].mean()
-    bits = (small > small.mean()).astype(np.uint64).ravel()
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
+    r_starts, r_lens = _split_starts(h)
+    c_starts, c_lens = _split_starts(w)
+    sums = np.add.reduceat(
+        np.add.reduceat(gray, r_starts, axis=0), c_starts, axis=1
+    )
+    small = sums / np.outer(r_lens, c_lens)
+    bits = (small > small.mean()).ravel()
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return val - (1 << 64) if val >= (1 << 63) else val
 
 

@@ -79,32 +79,79 @@ def build_shards(new_urls: DataFrame, shards: DataFrame,
     )
 
 
+def _check_bits(bits: np.ndarray, url_hashes: np.ndarray, nbits: int,
+                k: int) -> np.ndarray:
+    pos = _positions(url_hashes, nbits, k)
+    byte = bits[(pos >> np.uint64(3))]
+    hit = (byte & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))) != 0
+    return hit.all(axis=1)
+
+
 def probe(candidates: DataFrame, shards: DataFrame,
           cfg: EngineConfig) -> DataFrame:
     """Op B2 — adds boolean ``maybe_seen``.  False ⇒ definitely new
-    (bloom has no false negatives); True ⇒ must be checked exactly (B3)."""
+    (bloom has no false negatives); True ⇒ must be checked exactly (B3).
+
+    Two physical strategies by filter size:
+
+    - **broadcast** (total bitmap ≤ cfg.bloom_broadcast_max_bytes): ship
+      all shard bitmaps to every worker and probe via ``mapInPandas`` on
+      the candidates' EXISTING partitioning — no shuffle, parallelism =
+      candidate partitions, not n_shards.
+    - **cogroup** (big filters, the 10^10-URL regime where the bloom is
+      tens of GB): candidates shuffle to their shard's task so each task
+      holds exactly one bitmap slice; parallelism = n_shards, which at
+      that scale is sized in the thousands.
+    """
     nbits, k, n_shards = cfg.bloom_nbits, cfg.bloom_k, cfg.bloom_shards
+    total_bytes = n_shards * (nbits // 8)
+    out_schema = StructType(
+        candidates.schema.fields + [StructField("maybe_seen", BooleanType())])
+
+    if total_bytes <= cfg.bloom_broadcast_max_bytes:
+        bitmaps = {
+            int(r["shard"]): np.frombuffer(bytes(r["bits"]), dtype=np.uint8)
+            for r in shards.collect()
+        }
+        bc = candidates.sparkSession.sparkContext.broadcast(bitmaps)
+
+        def probe_map(pdfs):
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                uh = pdf["url_hash"].to_numpy()
+                sh = (uh % n_shards + n_shards) % n_shards  # pmod
+                maybe = np.zeros(len(pdf), dtype=bool)
+                for s in np.unique(sh):
+                    bits = bc.value.get(int(s))
+                    if bits is None:
+                        continue
+                    m = sh == s
+                    maybe[m] = _check_bits(bits, uh[m], nbits, k)
+                pdf["maybe_seen"] = maybe
+                yield pdf
+
+        return candidates.mapInPandas(probe_map, schema=out_schema)
+
     cands = candidates.withColumn(
         "shard", shard_col(F.col("url_hash"), n_shards))
-    out_schema = StructType(
+    grouped_schema = StructType(
         cands.schema.fields + [StructField("maybe_seen", BooleanType())])
 
     def fn(key, cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(cand_pdf):
-            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            return pd.DataFrame(columns=[f.name for f in grouped_schema.fields])
         if not len(shard_pdf):
             cand_pdf["maybe_seen"] = False
             return cand_pdf
         bits = np.frombuffer(shard_pdf["bits"].iloc[0], dtype=np.uint8)
-        pos = _positions(cand_pdf["url_hash"].to_numpy(), nbits, k)
-        byte = bits[(pos >> np.uint64(3))]
-        hit = (byte & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))) != 0
-        cand_pdf["maybe_seen"] = hit.all(axis=1)
+        cand_pdf["maybe_seen"] = _check_bits(
+            bits, cand_pdf["url_hash"].to_numpy(), nbits, k)
         return cand_pdf
 
     return (
         cands.groupBy("shard")
         .cogroup(shards.groupBy("shard"))
-        .applyInPandas(fn, schema=out_schema)
+        .applyInPandas(fn, schema=grouped_schema)
         .drop("shard")
     )

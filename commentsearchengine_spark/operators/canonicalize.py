@@ -4,8 +4,14 @@ The full canonicalizer spec (percent-encoding normalization, dot-segment
 resolution, tracking-param removal, param sort) is not expressible as a
 composition of native Column functions, so it runs as an Arrow-batched
 pandas UDF sharing the exact pure function with the sequential oracle
-(functions/urlnorm.py).  Batches cross the JVM↔Python boundary once per
+(functions/urlnorm.py).  Batches cross the JVM<->Python boundary once per
 Arrow batch — never per row (BASELINE.json:15).
+
+ONE struct-returning UDF produces (canon_url, host, path) together:
+three chained scalar UDFs would be three sequential ArrowEvalPython
+passes over the whole relation (each UDF depends on the previous
+column), tripling boundary crossings and re-parsing every URL — measured
+as a material share of wave wall-time at bench scale.
 """
 
 from __future__ import annotations
@@ -13,30 +19,35 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from ..functions.urlnorm import canonicalize, host_of, path_of
 
-
-@pandas_udf(StringType())
-def canon_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(canonicalize)
-
-
-@pandas_udf(StringType())
-def host_udf(canon_urls: pd.Series) -> pd.Series:
-    return canon_urls.map(host_of)
+_CANON_SCHEMA = StructType([
+    StructField("canon_url", StringType()),
+    StructField("host", StringType()),
+    StructField("path", StringType()),
+])
 
 
-@pandas_udf(StringType())
-def path_udf(canon_urls: pd.Series) -> pd.Series:
-    return canon_urls.map(path_of)
+@pandas_udf(_CANON_SCHEMA)
+def canon_struct_udf(urls: pd.Series) -> pd.DataFrame:
+    canon = urls.map(canonicalize)
+    return pd.DataFrame(
+        {
+            "canon_url": canon,
+            "host": canon.map(host_of),
+            "path": canon.map(path_of),
+        }
+    )
 
 
 def with_canonical(df, url_col: str = "url"):
-    """url → (canon_url, host, path) columns."""
+    """url → (canon_url, host, path) columns in one Python pass."""
     return (
-        df.withColumn("canon_url", canon_udf(F.col(url_col)))
-        .withColumn("host", host_udf(F.col("canon_url")))
-        .withColumn("path", path_udf(F.col("canon_url")))
+        df.withColumn("_c", canon_struct_udf(F.col(url_col)))
+        .withColumn("canon_url", F.col("_c.canon_url"))
+        .withColumn("host", F.col("_c.host"))
+        .withColumn("path", F.col("_c.path"))
+        .drop("_c")
     )

@@ -32,18 +32,26 @@ def anti_join_exact(cands: DataFrame, seen: DataFrame) -> DataFrame:
     return cands.join(seen.select("canon_url"), "canon_url", "left_anti")
 
 
-@pandas_udf(StructType([
+_BUDGET_SCHEMA = StructType([
     StructField("capacity", DoubleType()),
     StructField("refill_per_wave", DoubleType()),
     StructField("crawl_delay", DoubleType()),
-]))
-def host_budget_udf(hosts: pd.Series) -> pd.DataFrame:
+])
+
+
+def make_host_budget_udf(scale: float = 1.0):
     """Politeness budget provisioning for newly discovered hosts (in a
     real crawler this would come from config/robots; here from the
-    deterministic fixture universe so oracle and engine agree)."""
-    rows = []
-    for h in hosts:
-        cap, refill = synth.budget_for(h)
-        rows.append((cap, refill, synth.crawl_delay(h)))
-    return pd.DataFrame(
-        rows, columns=["capacity", "refill_per_wave", "crawl_delay"])
+    deterministic fixture universe so oracle and engine agree).
+    ``scale`` is EngineConfig.budget_scale."""
+
+    @pandas_udf(_BUDGET_SCHEMA)
+    def host_budget_udf(hosts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for h in hosts:
+            cap, refill = synth.budget_for(h, scale)
+            rows.append((cap, refill, synth.crawl_delay(h)))
+        return pd.DataFrame(
+            rows, columns=["capacity", "refill_per_wave", "crawl_delay"])
+
+    return host_budget_udf

@@ -31,7 +31,7 @@ from ..fixtures import synth
 from ..functions.spark_cols import bucket_col, murmur64_col
 from ..operators import admission, bloom
 from ..operators.canonicalize import with_canonical
-from ..operators.dedup import anti_join_exact, dedup_within_wave, host_budget_udf
+from ..operators.dedup import anti_join_exact, dedup_within_wave, make_host_budget_udf
 from ..operators.robots import aggregate_rules, robots_table, with_robots_verdict
 from ..sources.icelite import Catalog
 
@@ -39,28 +39,45 @@ FRONTIER_COLS = [c.split(" ")[0] for c in schemas.FRONTIER.split(", ")]
 PAGES_COLS = [c.split(" ")[0] for c in schemas.PAGES.split(", ")]
 
 
-def _bucket_counts(df: DataFrame, n_buckets: int, name: str) -> DataFrame:
-    return (
-        df.groupBy(bucket_col(F.col("host"), n_buckets).alias("bucket"))
-        .agg(F.count("*").alias(name))
-    )
+def _lineage_singlepass(wave: int, n_buckets: int,
+                        sources: dict[str, DataFrame]) -> DataFrame:
+    """Per-bucket lineage counters in ONE shuffle: tag each contributing
+    relation with its counter name, union, and pivot with sum(when) —
+    instead of one groupBy + full-outer join per counter (which costs a
+    job chain per wave; at 100 TB each extra barrier is a cluster-wide
+    stall).  Derived counters: politeness_deferred = frontier - admitted,
+    deduped = allowed - queued (same algebra as the oracle)."""
 
+    def tag(name: str) -> DataFrame:
+        return sources[name].select(
+            bucket_col(F.col("host"), n_buckets).alias("bucket"),
+            F.lit(name).alias("tag"),
+        )
 
-def _lineage_df(spark: SparkSession, wave: int, n_buckets: int,
-                **counts: DataFrame) -> DataFrame:
-    """Full-outer join per-bucket counters into one lineage frame."""
-    out: DataFrame | None = None
-    for _name, cdf in counts.items():
-        out = cdf if out is None else out.join(cdf, "bucket", "full")
-    assert out is not None
-    cols = ["fetched", "queued", "deduped", "robots_blocked",
-            "politeness_deferred"]
-    for c in cols:
-        if c not in out.columns:
-            out = out.withColumn(c, F.lit(0))
-    return out.select(
+    tagged = None
+    for name in sources:
+        t = tag(name)
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    def n(name: str | None):
+        if name is None or name not in sources:
+            return F.lit(0).cast("long")
+        return F.sum(F.when(F.col("tag") == name, 1).otherwise(0)).cast("long")
+
+    # counter -> (positive tag, negative tag)
+    spec: dict[str, tuple[str | None, str | None]] = {
+        "fetched": ("admitted", None),
+        "queued": ("queued", None),
+        "deduped": ("allowed", "queued") if "allowed" in sources
+        else ("deduped", None),
+        "robots_blocked": ("robots_blocked", None),
+        "politeness_deferred": ("frontier", "admitted"),
+    }
+    return tagged.groupBy("bucket").agg(
+        *[(n(pos) - n(neg)).alias(col) for col, (pos, neg) in spec.items()]
+    ).select(
         F.lit(wave).alias("wave"), "bucket",
-        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in cols],
+        *[F.col(c).cast("long").alias(c) for c in spec],
     )
 
 
@@ -74,8 +91,13 @@ def bootstrap(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> int:
     robots = robots_table(spark, universe_hosts(cfg))
     rules_agg = aggregate_rules(robots)
 
-    seeds = spark.createDataFrame(
-        list(enumerate(synth.seed_urls(cfg.n_seeds))), "disc_seq long, url string")
+    import pandas as pd
+
+    urls = synth.seed_urls(cfg.n_seeds, cfg.seed_spread_hosts)
+    seeds = spark.createDataFrame(  # pandas -> Arrow path: a plain list of
+        # tuples serializes row-by-row through py4j (seconds at 10^5 seeds)
+        pd.DataFrame({"disc_seq": range(len(urls)), "url": urls}),
+        "disc_seq long, url string")
     cand = with_canonical(seeds)  # adds canon_url, host, path
 
     w = Window.partitionBy("canon_url").orderBy("disc_seq")
@@ -100,24 +122,32 @@ def bootstrap(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> int:
 
     hosts = (
         frontier.select("host").distinct()
-        .withColumn("_b", host_budget_udf(F.col("host")))
+        .withColumn("_b", make_host_budget_udf(cfg.budget_scale)(F.col("host")))
         .select(
             "host", F.col("_b.capacity").alias("tokens"),
             F.col("_b.capacity"), F.col("_b.refill_per_wave"),
             F.col("_b.crawl_delay"))
     )
 
-    lineage = _lineage_df(
-        spark, 0, cfg.n_buckets,
-        queued=_bucket_counts(frontier, cfg.n_buckets, "queued"),
-        deduped=_bucket_counts(dups, cfg.n_buckets, "deduped"),
-        robots_blocked=_bucket_counts(blocked, cfg.n_buckets, "robots_blocked"),
+    lineage = _lineage_singlepass(
+        0, cfg.n_buckets,
+        {"queued": frontier, "deduped": dups, "robots_blocked": blocked},
     )
 
-    cat.stage_write(robots, "robots")
-    cat.stage_write(frontier.repartition(4, "host"), "frontier")
-    cat.stage_write(hosts, "hosts")
-    cat.stage_write(lineage, "lineage")
+    from concurrent.futures import ThreadPoolExecutor
+
+    boot_writes = [
+        ("robots", robots, "overwrite"),
+        ("frontier", frontier.repartition(4, "host"), "overwrite"),
+        ("hosts", hosts, "overwrite"),
+        ("lineage", lineage, "overwrite"),
+    ]
+    with ThreadPoolExecutor(max_workers=len(boot_writes)) as pool:
+        for fut in [
+            pool.submit(cat.stage_write, df, name, mode)
+            for name, df, mode in boot_writes
+        ]:
+            fut.result()
     sid = cat.commit(
         wave=0,
         state={"global_seq": 0, "config_hash": cfg.config_hash()},
@@ -144,10 +174,20 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     shards = cat.scan(spark, "bloom_shards", schema_ddl=schemas.BLOOM_SHARDS)
     rules_agg = aggregate_rules(cat.scan(spark, "robots", schema_ddl=schemas.ROBOTS))
 
+    timings: dict[str, float] = {}
+
+    def _mark(name: str, since: list[float]) -> None:
+        now = time.monotonic()
+        timings[name] = round(now - since[0], 3)
+        since[0] = now
+
+    tick = [time.monotonic()]
+
     # ---- Q1/O1: admission + crawl order -----------------------------------
     admitted = admission.assign_global_seq(
         admission.admit(frontier, hosts), base).persist()
     n_admitted = admitted.count()
+    _mark("admit", tick)
 
     crawl_log_new = admitted.select(
         F.lit(wave).alias("wave"), "host", "rank_in_host", "canon_url",
@@ -169,7 +209,7 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     from ..operators.fetch import fetch_pages
 
     fetched = fetch_pages(
-        salted.repartition(par, "host", "salt"), wave, cfg.n_hosts).persist()
+        salted.repartition(par * 4, "host", "salt"), wave, cfg.n_hosts).persist()
     pages_new = fetched.select(*PAGES_COLS)
 
     # ---- expansion: C1 → P2 → D1 → B2/B3 ----------------------------------
@@ -208,55 +248,58 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     new_hosts = (
         new_entries.select("host").distinct()
         .join(hosts_updated.select("host"), "host", "left_anti")
-        .withColumn("_b", host_budget_udf(F.col("host")))
+        .withColumn("_b", make_host_budget_udf(cfg.budget_scale)(F.col("host")))
         .select("host", F.col("_b.capacity").alias("tokens"),
                 F.col("_b.capacity"), F.col("_b.refill_per_wave"),
                 F.col("_b.crawl_delay")))
     hosts_next = hosts_updated.unionByName(new_hosts)
 
-    # ---- L1: lineage -------------------------------------------------------
-    frontier_b = _bucket_counts(frontier, nb, "f_total")
-    admitted_b = _bucket_counts(admitted, nb, "fetched")
-    deferred = (
-        frontier_b.join(admitted_b.withColumnRenamed("fetched", "adm"),
-                        "bucket", "full")
-        .select("bucket",
-                (F.coalesce("f_total", F.lit(0))
-                 - F.coalesce("adm", F.lit(0))).alias("politeness_deferred")))
-    allowed_b = _bucket_counts(allowed, nb, "a_total")
-    queued_b = _bucket_counts(new_entries, nb, "queued")
-    deduped = (
-        allowed_b.join(queued_b.withColumnRenamed("queued", "q"),
-                       "bucket", "full")
-        .select("bucket",
-                (F.coalesce("a_total", F.lit(0))
-                 - F.coalesce("q", F.lit(0))).alias("deduped")))
-    lineage = _lineage_df(
-        spark, wave, nb,
-        fetched=admitted_b,
-        queued=queued_b,
-        deduped=deduped,
-        robots_blocked=_bucket_counts(blocked, nb, "robots_blocked"),
-        politeness_deferred=deferred,
-    ).filter(
-        (F.col("fetched") + F.col("queued") + F.col("deduped")
-         + F.col("robots_blocked") + F.col("politeness_deferred")) > 0)
+    # ---- L1: lineage (one shuffle for all five counters) ------------------
+    lineage = _lineage_singlepass(
+        wave, nb,
+        {
+            "frontier": frontier,
+            "admitted": admitted,
+            "allowed": allowed,
+            "queued": new_entries,
+            "robots_blocked": blocked,
+        },
+    )
 
     # ---- S3/K1: writes + atomic snapshot commit ---------------------------
+    # materialize the expansion chain once (fills the persists) ...
     n_new = new_entries.count()
-    cat.stage_write(frontier_next.repartition(
-        max(4, min(nb, par)), "host"), "frontier")
-    cat.stage_write(seen_new.repartition(2), "seen", mode="append")
-    cat.stage_write(hosts_next.coalesce(1), "hosts")
-    cat.stage_write(crawl_log_new.coalesce(1), "crawl_log", mode="append")
-    cat.stage_write(lineage.coalesce(1), "lineage", mode="append")
-    cat.stage_write(pages_new, "pages", mode="append")
-    cat.stage_write(shards_updated, "bloom_shards")
+    _mark("expand", tick)
+    # ... then the seven table writes are independent jobs over persisted
+    # inputs: run them from concurrent driver threads so wall-time is
+    # max(write) not sum(write).  On a cluster this overlaps executor IO
+    # with the driver's job-scheduling latency per table.
+    writes: list[tuple[str, DataFrame, str]] = [
+        ("frontier", frontier_next.repartition(
+            max(4, min(nb, par)), "host"), "overwrite"),
+        ("seen", seen_new.repartition(2), "append"),
+        ("hosts", hosts_next.coalesce(1), "overwrite"),
+        ("crawl_log", crawl_log_new.coalesce(1), "append"),
+        ("lineage", lineage.coalesce(1), "append"),
+        ("pages", pages_new, "append"),
+        ("bloom_shards", shards_updated, "overwrite"),
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        futs = {
+            name: pool.submit(cat.stage_write, df, name, mode)
+            for name, df, mode in writes
+        }
+        for name, fut in futs.items():
+            fut.result()
+    _mark("writes", tick)
     wall = time.monotonic() - t0
     metrics = {
         "wave": wave, "admitted": n_admitted, "new_frontier": n_new,
         "wall_sec": round(wall, 3),
         "urls_per_sec": round(n_admitted / wall, 2) if wall > 0 else None,
+        "phases": timings,
     }
     cat.commit(
         wave=wave,

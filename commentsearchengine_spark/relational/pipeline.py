@@ -44,6 +44,32 @@ _SQL_TOKS = (
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
 JACCARD_THRESHOLD = 0.5
+
+# near-dup shingles = word BIGRAMS: unigrams are degenerate on a small
+# shared vocabulary (the majority of random pairs would qualify as
+# "near-dup"), while bigram overlap isolates genuinely duplicated
+# passages — and keeps LSH candidates sparse at scale.
+_SHINGLES = (  # over a column `w` holding the word array
+    "array_distinct(transform(sequence(0, size(w) - 2),"
+    " i -> concat(w[i], ' ', w[i + 1])))"
+)
+_SQL_SHINGLES = (  # over a column `arr` holding the word array
+    "list_distinct(list_transform(range(len(arr) - 1),"
+    " i -> arr[i + 1] || ' ' || arr[i + 2]))"
+)
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    """doc_id -> distinct word-bigram shingle set."""
+    return docs.select(
+        "doc_id", F.expr(_TOKS).alias("w")
+    ).select("doc_id", F.expr(_SHINGLES).alias("sh"))
+
+
+_SQL_SHINGLED = f"""
+  SELECT doc_id, {_SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKS} AS arr FROM documents)
+"""
 SIMHASH_BITS = 32
 HAMMING_MAX = 6
 ANN_PLANES = 8
@@ -82,25 +108,25 @@ FROM documents GROUP BY 1
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------
 
-# sig[i] = min over word-shingles of md5(i || '|' || shingle); md5-hex min
-# is a valid minwise hash and is engine-portable.
+# sig[i] = min over shingles of md5(i || '|' || shingle); md5-hex min is
+# a valid minwise hash and is engine-portable.  Operates over column `sh`.
 _SIGS = f"""
 transform(sequence(0, {N_MINHASH - 1}),
-          i -> array_min(transform({_WORDS},
-                                   w -> md5(concat(cast(i as string), '|', w)))))
+          i -> array_min(transform(sh,
+                                   s -> md5(concat(cast(i as string), '|', s)))))
 """
 _SQL_SIGS = f"""
 list_transform(range({N_MINHASH}),
                i -> list_aggregate(
-                      list_transform({_SQL_WORDS},
-                                     w -> md5(i::VARCHAR || '|' || w)),
+                      list_transform(sh,
+                                     s -> md5(i::VARCHAR || '|' || s)),
                       'min'))
 """
 
 
 def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     (docs,) = load(spark, sf, "documents")
-    return docs.select(
+    return _shingled(docs).select(
         "doc_id",
         F.expr(f"array_join({_SIGS}, ',')").alias("minhash_sig"),
     )
@@ -108,42 +134,45 @@ def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_MINHASH_SIGNATURES = f"""
 SELECT doc_id, array_to_string({_SQL_SIGS}, ',') AS minhash_sig
-FROM documents
+FROM ({_SQL_SHINGLED})
 """
 
 
 def q_lsh_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup: shingle -> minhash -> band -> bucket-join ->
-    exact-Jaccard verify.  Banding makes the self-join shuffle on 16-byte
-    band hashes; only bucket collisions pay the exact set comparison."""
+    exact-Jaccard verify.
+
+    Scale shape: ONLY (doc_id, band_hash) flows through the self-join
+    and the pair-dedup — never the word arrays (at 100 TB the arrays are
+    the corpus; shipping them through a shuffle-heavy self-join would be
+    the bottleneck).  Word sets are re-attached to the deduped candidate
+    pairs by two narrow joins for exact verification.  The banded and
+    words relations are materialized once (persist) so the md5 HOF
+    chains are not re-evaluated per join side."""
     (docs,) = load(spark, sf, "documents")
     rows_per_band = N_MINHASH // N_BANDS
-    base = docs.select(
-        "doc_id",
-        F.expr(_WORDS).alias("words"),
-        F.expr(_SIGS).alias("sigs"),
-    )
-    banded = base.select(
-        "doc_id",
-        "words",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {N_BANDS - 1}), b -> md5(concat("
-                f"cast(b as string), '|', array_join("
-                f"slice(sigs, b * {rows_per_band} + 1, {rows_per_band}), '|')"
-                f")))"
-            )
-        ).alias("band", "band_hash"),
+    shingled = _shingled(docs).persist()
+    words = shingled.select("doc_id", F.col("sh").alias("words"))
+    banded = (
+        shingled.select("doc_id", F.expr(_SIGS).alias("sigs"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {N_BANDS - 1}), b -> md5(concat("
+                    f"cast(b as string), '|', array_join("
+                    f"slice(sigs, b * {rows_per_band} + 1, {rows_per_band}),"
+                    f" '|'))))"
+                )
+            ).alias("band", "band_hash"),
+        )
+        .persist()
     )
     left = banded.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("words").alias("words_a"),
-        "band",
-        "band_hash",
+        F.col("doc_id").alias("doc_a"), "band", "band_hash"
     )
     right = banded.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("words").alias("words_b"),
         F.col("band").alias("band_r"),
         F.col("band_hash").alias("band_hash_r"),
     )
@@ -154,14 +183,23 @@ def q_lsh_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
             & (left.band == right.band_r)
             & (left.doc_a < right.doc_b),
         )
-        .select("doc_a", "doc_b", "words_a", "words_b")
+        .select("doc_a", "doc_b")
         .distinct()
+    )
+    pairs = cand.join(
+        words.select(F.col("doc_id").alias("doc_a"),
+                     F.col("words").alias("words_a")),
+        "doc_a",
+    ).join(
+        words.select(F.col("doc_id").alias("doc_b"),
+                     F.col("words").alias("words_b")),
+        "doc_b",
     )
     jac = F.size(F.array_intersect("words_a", "words_b")) / F.size(
         F.array_union("words_a", "words_b")
     )
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -169,7 +207,7 @@ def q_lsh_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_LSH_NEAR_DUP_PAIRS = f"""
 WITH base AS (
-  SELECT doc_id, {_SQL_WORDS} AS words, {_SQL_SIGS} AS sigs FROM documents),
+  SELECT doc_id, sh AS words, {_SQL_SIGS} AS sigs FROM ({_SQL_SHINGLED})),
 banded AS (
   SELECT doc_id, words, u.band AS band, u.band_hash AS band_hash
   FROM (SELECT doc_id, words,

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -66,6 +67,9 @@ class Catalog:
 
     root: str
     _staged: dict[str, list[tuple[str, int]]] = field(default_factory=dict)
+    # stage_write is called concurrently from driver threads (wave writes
+    # of independent tables overlap — plans/wave.py); guard the staging map
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     # ----------------------------------------------------------- layout
     @property
@@ -147,7 +151,8 @@ class Catalog:
             snap = self.load_snapshot()
             if snap is not None:
                 prev = [(f, 0) for f in snap.tables.get(table, [])]
-        self._staged[table] = prev + [(f, rows) for f in files]
+        with self._lock:
+            self._staged[table] = prev + [(f, rows) for f in files]
         return len(files)
 
     def commit(self, wave: int, state: dict[str, Any] | None = None,

@@ -69,6 +69,8 @@ class CrawlConfig:
     n_waves: int = 5
     n_buckets: int = 64
     n_hosts: int = synth.N_HOSTS
+    seed_spread_hosts: int = 0   # mirror of EngineConfig.seed_spread_hosts
+    budget_scale: float = 1.0    # mirror of EngineConfig.budget_scale
 
 
 def robots_allows(host: str, path: str) -> bool:
@@ -103,7 +105,8 @@ class SeqCrawl:
     def ingest_seeds(self) -> None:
         counters: dict[int, dict[str, int]] = {}
         seen_batch: set[str] = set()
-        for i, raw in enumerate(synth.seed_urls(self.cfg.n_seeds)):
+        for i, raw in enumerate(synth.seed_urls(
+                self.cfg.n_seeds, self.cfg.seed_spread_hosts)):
             cu = canonicalize(raw)
             host = host_of(cu)
             b = self.bucket(host)
@@ -121,7 +124,7 @@ class SeqCrawl:
                 canon_url=cu, host=host, url_hash=murmur64(cu), priority=0,
                 depth=0, disc_wave=0, disc_seq=i, parent_hash=0)
             if host not in self.tokens:
-                self.tokens[host] = synth.budget_for(host)[0]
+                self.tokens[host] = synth.budget_for(host, self.cfg.budget_scale)[0]
             c["queued"] += 1
         for b in sorted(counters):
             c = counters[b]
@@ -148,7 +151,8 @@ class SeqCrawl:
         admitted_count: dict[str, int] = {}
         for host in sorted(by_host):
             entries = sorted(by_host[host], key=FrontierEntry.order_key)
-            budget = int(math.floor(self.tokens.get(host, synth.budget_for(host)[0])))
+            budget = int(math.floor(self.tokens.get(
+                host, synth.budget_for(host, self.cfg.budget_scale)[0])))
             take = entries[: max(0, budget)]
             admitted_count[host] = len(take)
             for rank, e in enumerate(take, start=1):
@@ -171,7 +175,7 @@ class SeqCrawl:
 
         # 4. token-bucket refill for every tracked host
         for host in list(self.tokens):
-            cap, refill_per_wave = synth.budget_for(host)
+            cap, refill_per_wave = synth.budget_for(host, self.cfg.budget_scale)
             refill = refill_per_wave / max(1.0, synth.crawl_delay(host))
             self.tokens[host] = min(
                 cap, self.tokens[host] - admitted_count.get(host, 0) + refill)
@@ -208,7 +212,8 @@ class SeqCrawl:
                 continue
             self.frontier[ccu] = cand
             if cand.host not in self.tokens:
-                self.tokens[cand.host] = synth.budget_for(cand.host)[0]
+                self.tokens[cand.host] = synth.budget_for(
+                    cand.host, self.cfg.budget_scale)[0]
             ctr(cand.host)["queued"] += 1
 
         # 7. lineage
@@ -226,6 +231,9 @@ class SeqCrawl:
 
 
 def run_oracle(n_seeds: int, n_waves: int, n_buckets: int = 64,
-               n_hosts: int = synth.N_HOSTS) -> SeqCrawl:
-    return SeqCrawl(CrawlConfig(n_seeds=n_seeds, n_waves=n_waves,
-                                n_buckets=n_buckets, n_hosts=n_hosts)).run()
+               n_hosts: int = synth.N_HOSTS, seed_spread_hosts: int = 0,
+               budget_scale: float = 1.0) -> SeqCrawl:
+    return SeqCrawl(CrawlConfig(
+        n_seeds=n_seeds, n_waves=n_waves, n_buckets=n_buckets,
+        n_hosts=n_hosts, seed_spread_hosts=seed_spread_hosts,
+        budget_scale=budget_scale)).run()

@@ -17,6 +17,28 @@ def _urls(spark, prefix, n):
     ).withColumn("url_hash", murmur64_col(F.col("canon_url")))
 
 
+import pytest
+
+
+@pytest.mark.parametrize("bcast_max", [64 << 20, 0],
+                         ids=["broadcast_probe", "cogroup_probe"])
+def test_probe_paths_agree(spark, bcast_max):
+    """Both physical probe strategies produce identical verdicts."""
+    cfg = EngineConfig(bloom_shards=4, bloom_nbits=1 << 16, bloom_k=5,
+                       bloom_broadcast_max_bytes=bcast_max)
+    inserted = _urls(spark, "in", 1000)
+    empty = spark.createDataFrame([], S.BLOOM_SHARDS)
+    shards = bloom.build_shards(inserted, empty, cfg)
+    shards.persist().count()
+    mixed = inserted.unionByName(_urls(spark, "out", 1000))
+    got = sorted(
+        (r["canon_url"], r["maybe_seen"])
+        for r in bloom.probe(mixed, shards, cfg).collect())
+    # inserted rows must all be maybe_seen (no false negatives)
+    assert all(seen for url, seen in got if "/in/" in url)
+    shards.unpersist()
+
+
 def test_no_false_negatives_and_fpr(spark):
     cfg = EngineConfig(bloom_shards=4, bloom_nbits=1 << 16, bloom_k=5)
     n = 4000

@@ -60,6 +60,20 @@ def test_exact_match(spark, n_seeds, n_waves):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_exact_match_spread_scaled(spark):
+    """Bench knobs (seed spreading + budget scaling) preserve oracle
+    parity — the throughput bench runs the same semantics, just bigger."""
+    cfg = EngineConfig(n_seeds=30, n_waves=3, n_buckets=32,
+                       seed_spread_hosts=10, budget_scale=3.0)
+    cat, root = _run_engine(spark, cfg)
+    try:
+        o = run_oracle(30, 3, 32, cfg.n_hosts,
+                       seed_spread_hosts=10, budget_scale=3.0)
+        _assert_match(spark, cat, o)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_parallelism_independence(spark):
     """Same input, different shuffle parallelism → identical crawl_log."""
     cfg = EngineConfig(n_seeds=10, n_waves=2, n_buckets=16)
