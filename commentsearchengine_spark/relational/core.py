@@ -157,6 +157,37 @@ GROUP BY c_custkey, c_name
 """
 
 
+def q_full_outer_daily_activity(spark: SparkSession, sf: str) -> DataFrame:
+    """Full (and implicitly right) outer join: order-days vs event-days."""
+    orders, events = load(spark, sf, "orders", "events")
+    od = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n_orders"))
+    ed = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    return (
+        od.join(ed, "day", "full")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+SQL_FULL_OUTER_DAILY_ACTIVITY = """
+WITH od AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   count(*) AS n_orders FROM orders GROUP BY 1),
+     ed AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS n_events FROM events GROUP BY 1)
+SELECT coalesce(od.day, ed.day) AS day,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(n_events, 0) AS n_events
+FROM od FULL OUTER JOIN ed ON od.day = ed.day
+"""
+
+
 def q_semi_customers_with_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Left-semi join (the engine uses the anti twin as op B3)."""
     customer, orders = load(spark, sf, "customer", "orders")
@@ -909,6 +940,8 @@ QUERIES: dict[str, tuple] = {
         q_broadcast_part_revenue, SQL_BROADCAST_PART_REVENUE),
     "outer_customer_orders": (
         q_outer_customer_orders, SQL_OUTER_CUSTOMER_ORDERS),
+    "full_outer_daily_activity": (
+        q_full_outer_daily_activity, SQL_FULL_OUTER_DAILY_ACTIVITY),
     "semi_customers_with_orders": (
         q_semi_customers_with_orders, SQL_SEMI_CUSTOMERS_WITH_ORDERS),
     "anti_customers_without_orders": (

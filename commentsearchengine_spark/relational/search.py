@@ -16,6 +16,7 @@ tokens = non-empty pieces of lower(text) split on /[^a-z0-9]+/, with
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .util import load
@@ -206,8 +207,33 @@ SELECT doc_id, score, rank FROM (
 """
 
 
+def q_stemmed_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Stemmed term dictionary (Porter stemmer as a vectorized pandas
+    UDF — the reference's stemming stage, SURVEY.md §2.C gap closed).
+    Rows-only: Porter is not expressible in DuckDB SQL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def stem(terms: pd.Series) -> pd.Series:
+        from ..functions.stemmer import porter_stem
+
+        return terms.map(porter_stem)
+
+    t = tokens_df(spark, sf).filter(~F.col("term").isin(*STOPWORDS))
+    return (
+        t.withColumn("stem", stem("term"))
+        .groupBy("stem")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.countDistinct("term").alias("n_surface_forms"),
+            F.count("*").alias("n_occurrences"),
+        )
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "search_tokenize_counts": (q_tokenize_counts, SQL_TOKENIZE_COUNTS),
+    "search_stemmed_index": (q_stemmed_index, None),
     "search_inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "search_boolean": (q_boolean_query, SQL_BOOLEAN_QUERY),
     "search_phrase": (q_phrase_query, SQL_PHRASE_QUERY),
