@@ -53,9 +53,14 @@ def q_crawl_frontier_depth(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_crawl_lineage(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-partition lineage counters (op L1) across all waves."""
+    """Per-partition lineage counters (op L1) for crawl waves (wave >= 1);
+    the manifest-level `where` prunes wave-0 bootstrap files before Spark
+    ever sees them (icelite scan planning)."""
     cat = _demo_catalog(spark)
-    return cat.scan(spark, "lineage", schema_ddl=schemas.LINEAGE).groupBy(
+    return cat.scan(
+        spark, "lineage", schema_ddl=schemas.LINEAGE,
+        where=[("wave", ">=", 1)],
+    ).filter(F.col("wave") >= 1).groupBy(
         "wave"
     ).agg(
         F.sum("fetched").alias("fetched"),

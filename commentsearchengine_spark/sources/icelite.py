@@ -54,11 +54,72 @@ class Snapshot:
     snapshot_id: int
     parent_id: int | None
     wave: int
-    tables: dict[str, list[str]]  # table -> relative parquet file paths
+    # table -> list of file entries.  An entry is a dict
+    # {"path": rel_path, "rows": n, "stats": {col: [min, max]}} (rows/stats
+    # from the parquet footer at write time — the Iceberg-manifest analogue
+    # backing file pruning and row counts without touching data files).
+    tables: dict[str, list[Any]]
     row_counts: dict[str, int]
     state: dict[str, Any]
     metrics: dict[str, Any]
     created_at: float
+
+
+def _entry_path(entry: Any) -> str:
+    return entry["path"] if isinstance(entry, dict) else entry
+
+
+def _file_stats(full_path: str) -> tuple[int, dict[str, list]]:
+    """Row count + per-column [min, max] from the parquet footer.
+    Only JSON-friendly primitive columns are kept."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(full_path).metadata
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            lo, hi = st.min, st.max
+            # numeric only: parquet string/binary stats may be truncated
+            # BOUNDS, which would make file elimination unsound
+            if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+                continue
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    return md.num_rows, {c: [mins[c], maxs[c]] for c in mins}
+
+
+_OPS = {
+    "==": lambda lo, hi, v: lo <= v <= hi,
+    "<=": lambda lo, hi, v: lo <= v,   # some row may satisfy col <= v
+    ">=": lambda lo, hi, v: hi >= v,
+    "<": lambda lo, hi, v: lo < v,
+    ">": lambda lo, hi, v: hi > v,
+}
+
+
+def _may_match(entry: Any, where: list[tuple]) -> bool:
+    """Conservative file-level predicate check: False only when the
+    file's [min,max] PROVES no row can match (absent stats => keep)."""
+    if not isinstance(entry, dict):
+        return True
+    stats = entry.get("stats") or {}
+    for col, op, value in where:
+        rng = stats.get(col)
+        if rng is None:
+            continue
+        lo, hi = rng
+        if not _OPS[op](lo, hi, value):
+            return False
+    return True
 
 
 @dataclass
@@ -66,7 +127,7 @@ class Catalog:
     """A directory-rooted multi-table snapshot catalog."""
 
     root: str
-    _staged: dict[str, list[tuple[str, int]]] = field(default_factory=dict)
+    _staged: dict[str, list[Any]] = field(default_factory=dict)
     # stage_write is called concurrently from driver threads (wave writes
     # of independent tables overlap — plans/wave.py); guard the staging map
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
@@ -115,20 +176,42 @@ class Catalog:
 
     def scan(self, spark: SparkSession, table: str,
              snapshot_id: int | None = None,
-             schema_ddl: str | None = None) -> DataFrame:
+             schema_ddl: str | None = None,
+             where: list[tuple] | None = None) -> DataFrame:
         """Read a table exactly as of a snapshot (time travel when
         ``snapshot_id`` is given).  Empty tables need ``schema_ddl``
-        to produce a typed empty DataFrame."""
+        to produce a typed empty DataFrame.
+
+        ``where`` = [(col, op, value), ...] with op in ==/<=/>=/</> does
+        MANIFEST-LEVEL file pruning on the footer min/max recorded at
+        write time — the icelite stand-in for Iceberg scan planning
+        (SURVEY.md §4): files that provably contain no matching row are
+        never handed to Spark.  The predicate is advisory (pruning
+        only); callers still apply the exact filter."""
         snap = self.load_snapshot(snapshot_id)
-        files = [] if snap is None else snap.tables.get(table, [])
-        if not files:
+        entries = [] if snap is None else snap.tables.get(table, [])
+        if where:
+            entries = [e for e in entries if _may_match(e, where)]
+        if not entries:
             assert schema_ddl is not None, f"empty table {table} needs schema"
             return spark.createDataFrame([], schema_ddl)
-        paths = [os.path.join(self.root, f) for f in files]
+        paths = [os.path.join(self.root, _entry_path(e)) for e in entries]
         reader = spark.read
         if schema_ddl is not None:
             reader = reader.schema(schema_ddl)
         return reader.parquet(*paths)
+
+    def table_files(self, table: str, snapshot_id: int | None = None,
+                    where: list[tuple] | None = None) -> list[dict]:
+        """Manifest entries (post-pruning) — for tests and row counts."""
+        snap = self.load_snapshot(snapshot_id)
+        entries = [] if snap is None else snap.tables.get(table, [])
+        if where:
+            entries = [e for e in entries if _may_match(e, where)]
+        return [
+            e if isinstance(e, dict) else {"path": e, "rows": None, "stats": {}}
+            for e in entries
+        ]
 
     # ----------------------------------------------------------- writes
     def stage_write(self, df: DataFrame, table: str, mode: str = "overwrite",
@@ -142,18 +225,20 @@ class Catalog:
         if partitions is not None:
             df = df.repartition(partitions)
         df.write.mode("error").parquet(out_dir)
-        files, rows = [], 0
+        entries = []
         for name in sorted(os.listdir(out_dir)):
             if name.endswith(".parquet"):
-                files.append(os.path.join(rel_dir, name))
-        prev: list[tuple[str, int]] = []
+                rel = os.path.join(rel_dir, name)
+                rows, stats = _file_stats(os.path.join(self.root, rel))
+                entries.append({"path": rel, "rows": rows, "stats": stats})
+        prev: list[Any] = []
         if mode == "append":
             snap = self.load_snapshot()
             if snap is not None:
-                prev = [(f, 0) for f in snap.tables.get(table, [])]
+                prev = list(snap.tables.get(table, []))
         with self._lock:
-            self._staged[table] = prev + [(f, rows) for f in files]
-        return len(files)
+            self._staged[table] = prev + entries
+        return len(entries)
 
     def commit(self, wave: int, state: dict[str, Any] | None = None,
                metrics: dict[str, Any] | None = None,
@@ -169,11 +254,15 @@ class Catalog:
                       else list(parent.tables)):
                 if t in parent.tables:
                     tables[t] = parent.tables[t]
-        for t, files in self._staged.items():
-            tables[t] = [f for f, _ in files]
+        for t, entries in self._staged.items():
+            tables[t] = entries
+        row_counts = {
+            t: sum(e.get("rows") or 0 for e in ents if isinstance(e, dict))
+            for t, ents in tables.items()
+        }
         snap = Snapshot(
             snapshot_id=sid, parent_id=parent_id, wave=wave, tables=tables,
-            row_counts={}, state=state or {}, metrics=metrics or {},
+            row_counts=row_counts, state=state or {}, metrics=metrics or {},
             created_at=time.time())
         tmp = self._snap_path(sid) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
