@@ -26,16 +26,25 @@ from pyspark.sql import DataFrame
 from .. import schemas
 from ..fixtures import synth
 from ..functions.imagecodec import payload_for
+from ..functions.urlnorm import canonicalize, host_of, path_of
 
+# outlinks leave the fetch stage ALREADY canonicalized (op C1 runs inside
+# this same Python pass): a separate canonicalizer UDF downstream would be
+# another full ArrowEvalPython round-trip over ~4x the admitted rows —
+# serialize every raw link to the JVM, back to a Python worker, and back —
+# for work this worker can do while the strings are already in hand.  The
+# canonicalize/host_of/path_of functions are the exact ones the sequential
+# oracle uses, so parity is unchanged.
 FETCHED_SCHEMA = (
     schemas.PAGES
-    + ", depth int, parent_url_hash long, outlinks array<struct<j: int, raw: string>>"
+    + ", depth int, parent_url_hash long, outlinks array<struct<"
+    "j: int, raw: string, canon_url: string, host: string, path: string>>"
 )
 
 
 def fetch_pages(admitted: DataFrame, wave: int, n_hosts: int) -> DataFrame:
     """admitted (canon_url, host, url_hash, depth, global_seq) → pages rows
-    + raw outlinks for expansion."""
+    + canonicalized outlinks for expansion."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -44,15 +53,19 @@ def fetch_pages(admitted: DataFrame, wave: int, n_hosts: int) -> DataFrame:
                 pdf["canon_url"], pdf["host"], pdf["url_hash"],
                 pdf["depth"], pdf["global_seq"], strict=True,
             ):
+                links = []
+                for j, raw in enumerate(synth.outlinks(cu, n_hosts)):
+                    ccu = canonicalize(raw)
+                    links.append({
+                        "j": j, "raw": raw, "canon_url": ccu,
+                        "host": host_of(ccu), "path": path_of(ccu),
+                    })
                 p = payload_for(int(uh), host, wave)
                 p.update(
                     url=cu, canon_url=cu, host=host, wave=wave,
                     fetched_seq=int(gseq), depth=int(depth),
                     parent_url_hash=int(uh),
-                    outlinks=[
-                        {"j": j, "raw": raw}
-                        for j, raw in enumerate(synth.outlinks(cu, n_hosts))
-                    ],
+                    outlinks=links,
                 )
                 rows.append(p)
             yield pd.DataFrame(

@@ -213,15 +213,18 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     pages_new = fetched.select(*PAGES_COLS)
 
     # ---- expansion: C1 → P2 → D1 → B2/B3 ----------------------------------
-    links = fetched.select(
+    # outlinks arrive pre-canonicalized from the fetch pass (see fetch.py)
+    cand = fetched.select(
         F.col("parent_url_hash").alias("parent_hash"),
         F.col("depth").alias("parent_depth"),
         F.col("fetched_seq").alias("parent_seq"),
         F.explode("outlinks").alias("ol"),
-    ).select("parent_hash", "parent_depth", "parent_seq",
-             F.col("ol.j").alias("j"), F.col("ol.raw").alias("url"))
-
-    cand = with_canonical(links)
+    ).select(
+        "parent_hash", "parent_depth", "parent_seq",
+        F.col("ol.j").alias("j"), F.col("ol.raw").alias("url"),
+        F.col("ol.canon_url").alias("canon_url"),
+        F.col("ol.host").alias("host"), F.col("ol.path").alias("path"),
+    )
     judged = with_robots_verdict(cand, rules_agg).persist()
     blocked = judged.filter(~F.col("robots_allowed"))
     allowed = judged.filter(F.col("robots_allowed")).select(
