@@ -13,11 +13,17 @@ bit-exactly against the sequential oracle, by the pytest suite.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from commentsearchengine_spark.relational import registry
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:  # defensive: driver may import from another cwd
+    sys.path.insert(0, _REPO)
+
+from commentsearchengine_spark.relational import registry  # noqa: E402
 from commentsearchengine_spark.relational.search import q_tfidf_search
 
 SF0001 = "/root/testdata/sf0.001"

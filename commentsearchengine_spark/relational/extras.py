@@ -103,6 +103,29 @@ FROM events
 """
 
 
+def q_grouped_map_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map applyInPandas: z-normalize event values per type.
+    Exact oracle: the same algebra as SQL window avg/stddev_samp."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        sd = v.std(ddof=1)
+        pdf["z"] = ((v - v.mean()) / sd).round(4)
+        return pdf[["event_id", "event_type", "z"]]
+
+    (events,) = load(spark, sf, "events")
+    return events.groupBy("event_type").applyInPandas(
+        normalize, schema="event_id long, event_type string, z double"
+    )
+
+
+SQL_GROUPED_MAP_NORMALIZE = """
+SELECT event_id, event_type,
+       round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
+FROM events WINDOW w AS (PARTITION BY event_type)
+"""
+
+
 def _roundtrip_dir(sf: str, fmt: str) -> str:
     key = os.path.basename(os.path.normpath(sf))
     return os.path.join(tempfile.gettempdir(), f"cse_{fmt}_{key}")
@@ -134,6 +157,8 @@ QUERIES: dict[str, tuple] = {
     "udtf_tokenize": (q_udtf_tokenize, SQL_UDTF_TOKENIZE),
     "grouped_agg_pandas": (q_grouped_agg_pandas, SQL_GROUPED_AGG_PANDAS),
     "scalar_pandas_udf": (q_scalar_pandas_udf, SQL_SCALAR_PANDAS_UDF),
+    "grouped_map_normalize": (
+        q_grouped_map_normalize, SQL_GROUPED_MAP_NORMALIZE),
     "csv_roundtrip": (q_csv_roundtrip, None),
     "json_roundtrip": (q_json_roundtrip, None),
 }
