@@ -242,29 +242,39 @@ SELECT n_name, r_name FROM nation, region WHERE n_regionkey < r_regionkey
 
 def q_asof_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join: each purchase matched to the user's latest click at or
-    before it.  Spark: join + window row_number (no native ASOF);
-    DuckDB: native ASOF LEFT JOIN."""
+    before it.  Spark has no native ASOF; the linear-time shape is the
+    union+window trick (SURVEY §2.B): interleave both streams ordered by
+    (ts, kind) per user and carry `last(click_ts, ignoreNulls)` forward.
+    One shuffle, no k-clicks x m-purchases intermediate blowup (the old
+    join + row_number()=1 plan materialized every earlier click per
+    purchase).  DuckDB: native ASOF LEFT JOIN."""
     (events,) = load(spark, sf, "events")
-    purch = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.col("ts").alias("p_ts")
+    both = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        # clicks sort before purchases at equal ts, so a click at
+        # exactly purchase-ts is visible to it (ASOF >= semantics)
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
     )
-    clicks = events.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    joined = purch.join(
-        clicks,
-        (purch.user_id == clicks.c_user) & (clicks.c_ts <= purch.p_ts),
-        "left",
-    )
-    w = Window.partitionBy("event_id").orderBy(F.col("c_ts").desc())
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        both.withColumn(
+            "last_click_ts_raw", F.last("click_ts", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_purchase") == 1)
         .select(
             "event_id",
             "user_id",
-            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("last_click_ts_raw", "yyyy-MM-dd HH:mm:ss").alias(
                 "last_click_ts"
             ),
         )
@@ -366,6 +376,37 @@ SELECT coalesce(l_returnflag, 'ALL') AS flag,
        CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
          AS gid
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_flag_status(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping-set combos
+    (completes the rollup/cube/grouping-sets family of SURVEY §2.B)."""
+    (li,) = load(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+            "sum_qty",
+            "gid",
+        )
+    )
+
+
+SQL_CUBE_FLAG_STATUS = """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
@@ -582,16 +623,28 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
 
 
 def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
-    """intersect / except / union-distinct — the seen-set algebra family."""
+    """intersect / except / union-distinct — the seen-set algebra family.
+
+    The three set-op branches are tagged, unioned, and folded by ONE
+    aggregation, so the whole summary is a single Spark job (the old
+    shape ran three driver-side .count() actions for one output row)."""
     (orders,) = load(spark, sf, "orders")
     y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
     y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
     both = y95.intersect(y96)
     only95 = y95.distinct().subtract(y96)  # EXCEPT (distinct)
     union_d = y95.union(y96).distinct()
-    return spark.createDataFrame(
-        [(both.count(), only95.count(), union_d.count())],
-        "n_both bigint, n_only95 bigint, n_either bigint",
+
+    def tag(df: DataFrame, t: str) -> DataFrame:
+        return df.select(F.lit(t).alias("t"))
+
+    return (
+        tag(both, "b").unionAll(tag(only95, "o")).unionAll(tag(union_d, "e"))
+        .agg(
+            F.sum((F.col("t") == "b").cast("long")).alias("n_both"),
+            F.sum((F.col("t") == "o").cast("long")).alias("n_only95"),
+            F.sum((F.col("t") == "e").cast("long")).alias("n_either"),
+        )
     )
 
 
@@ -604,6 +657,74 @@ SELECT (SELECT count(*) FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96))
          AS n_only95,
        (SELECT count(*) FROM (SELECT * FROM y95 UNION SELECT * FROM y96))
          AS n_either
+"""
+
+
+def q_set_ops_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset set ops: intersectAll / exceptAll keep duplicate
+    multiplicities (min / truncated-difference of per-value counts), and
+    unionByName resolves columns by NAME across different column orders.
+    Per-priority result rows make the multiplicities visible to the
+    value-hash compare."""
+    (orders,) = load(spark, sf, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select(
+        "o_orderpriority"
+    )
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(
+        "o_orderpriority"
+    )
+    ia = (
+        y95.intersectAll(y96)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_intersect_all"))
+    )
+    ea = (
+        y95.exceptAll(y96)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_except_all"))
+    )
+    # deliberately different column ORDER on the two sides: unionByName
+    # must match by name (positional union would mis-zip these)
+    ua = (
+        y95.select("o_orderpriority", F.lit(1995).alias("yr"))
+        .unionByName(
+            y96.select(F.lit(1996).alias("yr"), "o_orderpriority")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_union_all"))
+    )
+    return (
+        ua.join(ia, "o_orderpriority", "left")
+        .join(ea, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_union_all",
+            F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+            F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+        )
+    )
+
+
+SQL_SET_OPS_ALL = """
+WITH y95 AS (SELECT o_orderpriority FROM orders
+             WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT o_orderpriority FROM orders
+             WHERE year(o_orderdate) = 1996),
+ia AS (SELECT o_orderpriority, count(*) AS n_intersect_all
+       FROM (SELECT * FROM y95 INTERSECT ALL SELECT * FROM y96)
+       GROUP BY 1),
+ea AS (SELECT o_orderpriority, count(*) AS n_except_all
+       FROM (SELECT * FROM y95 EXCEPT ALL SELECT * FROM y96)
+       GROUP BY 1),
+ua AS (SELECT o_orderpriority, count(*) AS n_union_all
+       FROM (SELECT * FROM y95 UNION ALL SELECT * FROM y96)
+       GROUP BY 1)
+SELECT ua.o_orderpriority, ua.n_union_all,
+       coalesce(ia.n_intersect_all, 0) AS n_intersect_all,
+       coalesce(ea.n_except_all, 0) AS n_except_all
+FROM ua
+LEFT JOIN ia ON ia.o_orderpriority = ua.o_orderpriority
+LEFT JOIN ea ON ea.o_orderpriority = ua.o_orderpriority
 """
 
 
@@ -802,12 +923,16 @@ def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# WHERE k IS NOT NULL mirrors the Spark side's k1 == k2 filter (NULL ==
+# NULL is not true, so Spark drops rows whose props lacks 'k'); without
+# it the two engines would diverge on any row missing the key.
 SQL_JSON_PROPS = """
-SELECT event_type,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS sum_k,
-       count(*) AS n
-FROM events GROUP BY event_type
+SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, count(*) AS n
+FROM (SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+WHERE k IS NOT NULL
+GROUP BY event_type
 """
 
 
@@ -953,6 +1078,7 @@ QUERIES: dict[str, tuple] = {
     "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
     "approx_distinct": (q_approx_distinct, None),
     "rollup_flag_status": (q_rollup_flag_status, SQL_ROLLUP_FLAG_STATUS),
+    "cube_flag_status": (q_cube_flag_status, SQL_CUBE_FLAG_STATUS),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "stats_aggregates": (q_stats_aggregates, SQL_STATS_AGGREGATES),
     "median_quantity": (q_median_quantity, SQL_MEDIAN_QUANTITY),
@@ -964,6 +1090,7 @@ QUERIES: dict[str, tuple] = {
     "ntile_customers": (q_ntile_customers, SQL_NTILE_CUSTOMERS),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "set_ops": (q_set_ops, SQL_SET_OPS),
+    "set_ops_all": (q_set_ops_all, SQL_SET_OPS_ALL),
     "exists_subquery": (q_exists_subquery, SQL_EXISTS_SUBQUERY),
     "pivot_region_revenue": (q_pivot_region_revenue, SQL_PIVOT_REGION_REVENUE),
     "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),

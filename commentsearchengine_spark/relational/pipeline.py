@@ -72,7 +72,13 @@ _SQL_SHINGLED = f"""
 """
 SIMHASH_BITS = 32
 HAMMING_MAX = 6
-ANN_PLANES = 8
+# multi-table hyperplane LSH: ANN_TABLES independent tables of
+# ANN_PLANES planes each.  12 planes -> 4096 buckets per table (the
+# shuffle-key space; 8 planes = 256 capped parallelism and ~n/256
+# quadratic buckets at corpus scale), 2 tables recover the recall a
+# single finer table loses.
+ANN_PLANES = 12
+ANN_TABLES = 2
 COSINE_THRESHOLD = 0.3
 
 
@@ -306,14 +312,57 @@ FROM votes GROUP BY doc_id
 """
 
 
+def _simhash_chunks_expr() -> str:
+    """Array of HAMMING_MAX+1 disjoint bit-chunks of `simhash`.
+
+    Pigeonhole banding: if hamming(a, b) <= HAMMING_MAX, at most
+    HAMMING_MAX of the HAMMING_MAX+1 chunks can differ, so every
+    qualifying pair shares at least one (chunk_idx, chunk_value) —
+    the same band->bucket-join shape as lsh_near_dup_pairs."""
+    n_chunks = HAMMING_MAX + 1
+    parts, off = [], 0
+    for i in range(n_chunks):
+        ln = SIMHASH_BITS // n_chunks + (1 if i < SIMHASH_BITS % n_chunks else 0)
+        parts.append(
+            f"cast(shiftright(simhash, {off}) & {(1 << ln) - 1} as bigint)"
+        )
+        off += ln
+    return "array(" + ", ".join(parts) + ")"
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup: pairs within Hamming distance <= HAMMING_MAX."""
-    sh = q_simhash(spark, sf)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    """SimHash near-dup: pairs within Hamming distance <= HAMMING_MAX.
+
+    Scale shape: NOT an all-pairs join.  The 32-bit simhash splits into
+    HAMMING_MAX+1 = 7 chunks; candidates equi-join on
+    (chunk_idx, chunk_value) (SortMerge/BHJ-able, shuffle key is 2
+    small ints), then exact bit_count verifies only the candidates.
+    The simhash relation is persisted so the expensive per-token bit
+    aggregation runs once, not once per join side."""
+    sh = q_simhash(spark, sf).persist()
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.expr(_simhash_chunks_expr())).alias("ci", "cv"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"),
+        "ci", "cv",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"),
+        F.col("ci").alias("ci_r"), F.col("cv").alias("cv_r"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a.ci == b.ci_r) & (a.cv == b.cv_r) & (a.doc_a < b.doc_b),
+        )
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
     return (
-        a.join(b, a.doc_a < b.doc_b)
-        .withColumn(
+        cand.withColumn(
             "hamming",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"),
         )
@@ -570,24 +619,41 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
-# hyperplane-LSH: plane p has ±1 components c(p,d) from md5 parity; the
-# bucket id is the 8-bit sign pattern of the 8 projections.
-_PLANE_DOT = (
-    "aggregate(zip_with(vec, transform(sequence(0, 63),"
-    " d -> cast(((instr('" + _HEX + "', substr(md5(concat("
-    "cast(p as string), ',', cast(d as string))), 1, 1)) - 1) % 2) * 2 - 1"
-    " as double)), (x, c) -> x * c), cast(0.0 as double), (acc, v) -> acc + v)"
-)
-_BUCKET = (
-    f"aggregate(transform(sequence(0, {ANN_PLANES - 1}),"
-    f" p -> IF({_PLANE_DOT} > 0, shiftleft(cast(1 as bigint), p),"
-    f" cast(0 as bigint))), cast(0 as bigint), (acc, v) -> acc + v)"
+# hyperplane-LSH: table t, plane p has ±1 components c(t,p,d) from md5
+# parity; the per-table bucket id is the ANN_PLANES-bit sign pattern of
+# the projections.  Seed string "t:p,d" is shared with the oracle SQL so
+# signatures reproduce bit-for-bit.
+
+
+def _plane_dot(t: int) -> str:
+    return (
+        "aggregate(zip_with(vec, transform(sequence(0, 63),"
+        f" d -> cast(((instr('{_HEX}', substr(md5(concat('{t}:',"
+        " cast(p as string), ',', cast(d as string))), 1, 1)) - 1) % 2)"
+        " * 2 - 1 as double)), (x, c) -> x * c), cast(0.0 as double),"
+        " (acc, v) -> acc + v)"
+    )
+
+
+def _bucket(t: int) -> str:
+    return (
+        f"aggregate(transform(sequence(0, {ANN_PLANES - 1}),"
+        f" p -> IF({_plane_dot(t)} > 0, shiftleft(cast(1 as bigint), p),"
+        f" cast(0 as bigint))), cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+# all table buckets in ONE projection pass over the vector
+_BUCKETS_ARR = (
+    "array(" + ", ".join(_bucket(t) for t in range(ANN_TABLES)) + ")"
 )
 
+# SQL twin over columns `vec` and `t` (t from a range() cross join)
 _SQL_PLANE_DOT = (
     "list_aggregate(list_transform(range(64),"
-    " d -> vec[d + 1] * (((strpos('" + _HEX + "', substr(md5(p::VARCHAR ||"
-    " ',' || d::VARCHAR), 1, 1)) - 1) % 2) * 2 - 1)), 'sum')"
+    " d -> vec[d + 1] * (((strpos('" + _HEX + "', substr(md5(t::VARCHAR ||"
+    " ':' || p::VARCHAR || ',' || d::VARCHAR), 1, 1)) - 1) % 2) * 2 - 1)),"
+    " 'sum')"
 )
 _SQL_BUCKET = (
     f"list_aggregate(list_transform(range({ANN_PLANES}),"
@@ -598,59 +664,92 @@ _SQL_BUCKET = (
 
 def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """Hyperplane-LSH bucket assignment (the ANN scale path): 64-float
-    vectors reduce to an 8-bit bucket id before any join."""
+    vectors reduce to ANN_TABLES 12-bit bucket ids before any join."""
     (emb,) = load(spark, sf, "embeddings")
     emb = _with_double_vec(emb)
     return emb.select(
         "vec_id",
-        F.expr(_BUCKET).cast("long").alias("bucket"),
+        F.posexplode(F.expr(_BUCKETS_ARR)).alias("tbl", "bucket"),
+    ).select(
+        "vec_id",
+        F.col("tbl").cast("long").alias("tbl"),
+        F.col("bucket").cast("long").alias("bucket"),
     )
 
 
 SQL_ANN_LSH_BUCKETS = f"""
-SELECT vec_id, CAST({_SQL_BUCKET} AS BIGINT) AS bucket
+SELECT vec_id, CAST(t AS BIGINT) AS tbl, CAST({_SQL_BUCKET} AS BIGINT)
+         AS bucket
 FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+CROSS JOIN (SELECT unnest(range({ANN_TABLES})) AS t)
 """
 
 
 def q_ann_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Bucketed ANN: candidate pairs share an LSH bucket; exact cosine
-    verification only inside buckets (shuffle key = 8-bit bucket)."""
+    """Bucketed ANN: candidate pairs share an LSH bucket in ANY table;
+    exact cosine verification only on the deduped candidates.
+
+    Scale shape: only (vec_id, tbl, bucket) crosses the self-join (the
+    64-float vectors are re-attached to deduped candidates by two
+    narrow joins, mirroring lsh_near_dup_pairs); the bucketed relation
+    is persisted so the hyperplane HOF runs once, not per join side."""
     (emb,) = load(spark, sf, "embeddings")
     emb = _with_double_vec(emb)
-    b = emb.select("vec_id", "vec", F.expr(_BUCKET).alias("bucket"))
-    left = b.select(
-        F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), "bucket"
-    )
+    vecs = emb.select("vec_id", "vec")
+    b = emb.select(
+        "vec_id",
+        F.posexplode(F.expr(_BUCKETS_ARR)).alias("tbl", "bucket"),
+    ).persist()
+    left = b.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
     right = b.select(
         F.col("vec_id").alias("id_b"),
-        F.col("vec").alias("vb"),
+        F.col("tbl").alias("tbl_r"),
         F.col("bucket").alias("bucket_r"),
+    )
+    cand = (
+        left.join(
+            right,
+            (left.tbl == right.tbl_r)
+            & (left.bucket == right.bucket_r)
+            & (left.id_a < right.id_b),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs = cand.join(
+        vecs.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va")),
+        "id_a",
+    ).join(
+        vecs.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb")),
+        "id_b",
     )
     sim = F.expr(_DOT) / (
         F.expr(_NORM.format(v="va")) * F.expr(_NORM.format(v="vb"))
     )
     return (
-        left.join(
-            right,
-            (left.bucket == right.bucket_r) & (left.id_a < right.id_b),
-        )
-        .withColumn("cosine", F.round(sim, 6))
+        pairs.withColumn("cosine", F.round(sim, 6))
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
-        .select("id_a", "id_b", "bucket", "cosine")
+        .select("id_a", "id_b", "cosine")
     )
 
 
 SQL_ANN_LSH_PAIRS = f"""
-WITH b AS (
-  SELECT vec_id, vec, {_SQL_BUCKET} AS bucket
-  FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings))
-SELECT id_a, id_b, bucket, cosine FROM (
-  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.bucket AS bucket,
-         round(list_dot_product(a.vec, b2.vec)
-               / (sqrt(list_dot_product(a.vec, a.vec))
-                  * sqrt(list_dot_product(b2.vec, b2.vec))), 6) AS cosine
-  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+b AS (
+  SELECT vec_id, t, {_SQL_BUCKET} AS bucket
+  FROM e CROSS JOIN (SELECT unnest(range({ANN_TABLES})) AS t)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2
+    ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT id_a, id_b, cosine FROM (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(ea.vec, eb.vec)
+               / (sqrt(list_dot_product(ea.vec, ea.vec))
+                  * sqrt(list_dot_product(eb.vec, eb.vec))), 6) AS cosine
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.id_a
+  JOIN e eb ON eb.vec_id = c.id_b)
 WHERE cosine >= {COSINE_THRESHOLD}
 """
 
