@@ -37,6 +37,25 @@ def shard_col(url_hash_col, n_shards: int):
     return F.pmod(url_hash_col, F.lit(n_shards)).cast("int")
 
 
+# broadcasts created by probe()'s broadcast path, alive until the caller
+# finishes the jobs that reference them.  A long multi-wave crawl would
+# otherwise accumulate one driver+executor bitmap block per wave while
+# waiting on GC/ContextCleaner; the wave loop calls release_broadcasts()
+# after its writes commit.
+_live_broadcasts: list = []
+
+
+def release_broadcasts() -> None:
+    """Destroy probe broadcasts whose jobs have completed (call only
+    after every action that consumed the probed DataFrame)."""
+    while _live_broadcasts:
+        bc = _live_broadcasts.pop()
+        try:
+            bc.destroy()
+        except Exception:
+            pass  # already cleaned by context shutdown
+
+
 def _positions(url_hashes: np.ndarray, nbits: int, k: int) -> np.ndarray:
     """(n, k) bit positions via Kirsch–Mitzenmacher double hashing."""
     uh = url_hashes.astype(np.int64).astype(np.uint64)
@@ -114,6 +133,7 @@ def probe(candidates: DataFrame, shards: DataFrame,
             for r in shards.collect()
         }
         bc = candidates.sparkSession.sparkContext.broadcast(bitmaps)
+        _live_broadcasts.append(bc)
 
         def probe_map(pdfs):
             for pdf in pdfs:

@@ -313,6 +313,7 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     for df in (frontier, admitted, remaining, shards_updated, fetched,
                judged, allowed, new_entries):
         df.unpersist()
+    bloom.release_broadcasts()  # probe jobs are done once writes commit
     return metrics
 
 
@@ -328,6 +329,16 @@ def run_crawl(spark: SparkSession, root: str, cfg: EngineConfig) -> Catalog:
     if snap is None:
         bootstrap(spark, cat, cfg)
         snap = cat.load_snapshot()
+    elif snap.state.get("config_hash") != cfg.config_hash():
+        # resuming with different semantics-affecting knobs would silently
+        # mix two crawl definitions and break oracle parity — the exact
+        # guarantee the recorded hash exists to protect
+        raise ValueError(
+            f"resume config mismatch at {root}: snapshot has "
+            f"config_hash={snap.state.get('config_hash')!r}, requested "
+            f"{cfg.config_hash()!r}; start a fresh catalog root or rerun "
+            "with the original EngineConfig"
+        )
     while snap.wave < cfg.n_waves:
         run_wave(spark, cat, cfg)
         snap = cat.load_snapshot()

@@ -8,10 +8,10 @@ events/documents/embeddings over the same parquet files.
 
 from __future__ import annotations
 
-from . import core, engine_queries, extras, pipeline, search
+from . import core, engine_queries, extras, pipeline, search, streaming_queries
 
 QUERIES: dict[str, tuple] = {}
-for mod in (core, search, pipeline, extras, engine_queries):
+for mod in (core, search, pipeline, extras, engine_queries, streaming_queries):
     overlap = QUERIES.keys() & mod.QUERIES.keys()
     assert not overlap, f"duplicate query names: {overlap}"
     QUERIES.update(mod.QUERIES)

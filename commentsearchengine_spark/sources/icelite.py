@@ -77,6 +77,11 @@ def _file_stats(full_path: str) -> tuple[int, dict[str, list]]:
     md = pq.ParquetFile(full_path).metadata
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
+    # a column's file-level [min,max] is sound only if EVERY row group
+    # contributed stats for it; a statless group (e.g. all-NaN doubles)
+    # could hold values outside the recorded range, and pruning on an
+    # incomplete range would silently drop matching rows
+    coverage: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -90,11 +95,16 @@ def _file_stats(full_path: str) -> tuple[int, dict[str, list]]:
             # BOUNDS, which would make file elimination unsound
             if not isinstance(lo, (int, float)) or isinstance(lo, bool):
                 continue
+            coverage[name] = coverage.get(name, 0) + 1
             if name not in mins or lo < mins[name]:
                 mins[name] = lo
             if name not in maxs or hi > maxs[name]:
                 maxs[name] = hi
-    return md.num_rows, {c: [mins[c], maxs[c]] for c in mins}
+    return md.num_rows, {
+        c: [mins[c], maxs[c]]
+        for c in mins
+        if coverage[c] == md.num_row_groups
+    }
 
 
 _OPS = {

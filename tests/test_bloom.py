@@ -17,26 +17,32 @@ def _urls(spark, prefix, n):
     ).withColumn("url_hash", murmur64_col(F.col("canon_url")))
 
 
-import pytest
-
-
-@pytest.mark.parametrize("bcast_max", [64 << 20, 0],
-                         ids=["broadcast_probe", "cogroup_probe"])
-def test_probe_paths_agree(spark, bcast_max):
-    """Both physical probe strategies produce identical verdicts."""
-    cfg = EngineConfig(bloom_shards=4, bloom_nbits=1 << 16, bloom_k=5,
-                       bloom_broadcast_max_bytes=bcast_max)
+def test_probe_paths_agree(spark):
+    """Both physical probe strategies (broadcast mapInPandas vs cogroup
+    shuffle) produce IDENTICAL verdicts on the same shards + candidates
+    — compared row by row, not just free of false negatives."""
+    mk = lambda bcast: EngineConfig(  # noqa: E731
+        bloom_shards=4, bloom_nbits=1 << 16, bloom_k=5,
+        bloom_broadcast_max_bytes=bcast)
+    cfg_bcast, cfg_cogroup = mk(64 << 20), mk(0)
     inserted = _urls(spark, "in", 1000)
     empty = spark.createDataFrame([], S.BLOOM_SHARDS)
-    shards = bloom.build_shards(inserted, empty, cfg)
+    shards = bloom.build_shards(inserted, empty, cfg_bcast)
     shards.persist().count()
     mixed = inserted.unionByName(_urls(spark, "out", 1000))
-    got = sorted(
-        (r["canon_url"], r["maybe_seen"])
-        for r in bloom.probe(mixed, shards, cfg).collect())
+
+    def verdicts(cfg):
+        return sorted(
+            (r["canon_url"], r["maybe_seen"])
+            for r in bloom.probe(mixed, shards, cfg).collect())
+
+    got_bcast = verdicts(cfg_bcast)
+    got_cogroup = verdicts(cfg_cogroup)
+    assert got_bcast == got_cogroup
     # inserted rows must all be maybe_seen (no false negatives)
-    assert all(seen for url, seen in got if "/in/" in url)
+    assert all(seen for url, seen in got_bcast if "/in/" in url)
     shards.unpersist()
+    bloom.release_broadcasts()
 
 
 def test_no_false_negatives_and_fpr(spark):
