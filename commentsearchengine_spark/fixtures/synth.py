@@ -56,7 +56,8 @@ def host_name(idx: int) -> str:
 
 # ---------------------------------------------------------------- outlinks
 
-def outlinks(canon_url: str, n_hosts: int = N_HOSTS) -> list[str]:
+def outlinks(canon_url: str, n_hosts: int = N_HOSTS,
+             uh: int | None = None) -> list[str]:
     """Raw (pre-canonicalization) outlinks of a fetched page.
 
     ``k = splitmix64(uh) mod (MAX_OUT+1)`` links; ~10% drawn from a small
@@ -66,9 +67,14 @@ def outlinks(canon_url: str, n_hosts: int = N_HOSTS) -> list[str]:
     Hot-loop note: all per-link fields come from two splitmix64 rounds
     (bit-sliced) instead of murmur-over-string mixes — this function runs
     once per fetched page inside the engine's Arrow batches and was the
-    dominant Python cost of the fetch stage.
+    dominant Python cost of the fetch stage.  Callers that already hold
+    the URL's murmur64 id (the engine carries it as the ``url_hash``
+    column) pass it via ``uh`` to skip recomputing the pure-Python hash;
+    passing anything other than ``murmur64(canon_url)`` would fork the
+    synthetic universe and break oracle parity.
     """
-    uh = murmur64(canon_url)
+    if uh is None:
+        uh = murmur64(canon_url)
     k = splitmix64(uh) % (MAX_OUT + 1)
     links = []
     for j in range(k):

@@ -165,7 +165,10 @@ def phash64(arr: np.ndarray) -> int:
     ``np.add.reduceat``) — this runs per row inside the engine's Arrow
     batches, so it must not loop in Python.  Identical code in oracle
     and engine keeps phash bit-equal between them."""
-    gray = arr.astype(np.float64).mean(axis=2)
+    # channel SUM, not mean: every downstream quantity scales by the
+    # same x3, so the > comparisons (hence the bits) are unchanged while
+    # one full-image temporary + mean pass disappears from the hot loop
+    gray = arr.sum(axis=2, dtype=np.float64)
     h, w = gray.shape
     r_starts, r_lens = _split_starts(h)
     c_starts, c_lens = _split_starts(w)

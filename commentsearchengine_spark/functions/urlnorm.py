@@ -131,6 +131,49 @@ def canonicalize(url: str) -> str:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
+# ---- fast path: URLs that are ALREADY canonical by construction -------
+#
+# The fetch hot loop canonicalizes every outlink; in a real crawl (and in
+# the synthetic link space) the majority are already in canonical form.
+# This check is CONSERVATIVE: it returns parts only when every transform
+# above is provably the identity — lowercase http(s) scheme, lowercase
+# host with no port/userinfo, a '/'-rooted path whose characters are all
+# kept verbatim by _norm_pct(_PATH_SAFE), no dot segments, no query, no
+# fragment, no percent escapes, no whitespace.  Property-tested against
+# the full canonicalizer (tests/test_urlnorm.py).
+
+import re as _re
+
+_FAST_HOST = _re.compile(r"[a-z0-9.-]+\Z")
+# subset of _PATH_SAFE minus '@' (reserved for the userinfo check) and
+# minus '%' (escapes), uppercase excluded entirely
+_FAST_PATH = _re.compile(r"[a-z0-9._~/!$&'()*+,;=:-]*\Z")
+
+
+def fast_canonical_parts(url: str) -> tuple[str, str] | None:
+    """(host, path) when ``canonicalize(url) == url`` is guaranteed,
+    else None (caller falls back to the full canonicalizer)."""
+    if url.startswith("https://"):
+        rest = url[8:]
+    elif url.startswith("http://"):
+        rest = url[7:]
+    else:
+        return None
+    slash = rest.find("/")
+    if slash <= 0:
+        return None  # empty host, or empty path (needs the '/' rewrite)
+    host, path = rest[:slash], rest[slash:]
+    if (
+        "%" in rest or "?" in rest or "#" in rest or "@" in rest
+        or not _FAST_HOST.fullmatch(host)
+        or not _FAST_PATH.fullmatch(path)
+        or "/./" in path or "/../" in path
+        or path.endswith("/.") or path.endswith("/..")
+    ):
+        return None
+    return host, path
+
+
 def host_of(canon_url: str) -> str:
     """Host (no port) of an already-canonical URL; '' when absent."""
     try:

@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame
 from .. import schemas
 from ..fixtures import synth
 from ..functions.imagecodec import payload_for
-from ..functions.urlnorm import canonicalize, host_of, path_of
+from ..functions.urlnorm import (
+    canonicalize,
+    fast_canonical_parts,
+    host_of,
+    path_of,
+)
 
 # outlinks leave the fetch stage ALREADY canonicalized (op C1 runs inside
 # this same Python pass): a separate canonicalizer UDF downstream would be
@@ -34,47 +39,89 @@ from ..functions.urlnorm import canonicalize, host_of, path_of
 # serialize every raw link to the JVM, back to a Python worker, and back —
 # for work this worker can do while the strings are already in hand.  The
 # canonicalize/host_of/path_of functions are the exact ones the sequential
-# oracle uses, so parity is unchanged.
+# oracle uses, so parity is unchanged.  (The raw pre-canonical form is
+# consumed here and never used downstream, so it is not emitted — one
+# fewer string per link across the Arrow boundary.)
 FETCHED_SCHEMA = (
     schemas.PAGES
     + ", depth int, parent_url_hash long, outlinks array<struct<"
-    "j: int, raw: string, canon_url: string, host: string, path: string>>"
+    "j: int, canon_url: string, host: string, path: string>>"
 )
 
 
 def fetch_pages(admitted: DataFrame, wave: int, n_hosts: int) -> DataFrame:
     """admitted (canon_url, host, url_hash, depth, global_seq) → pages rows
-    + canonicalized outlinks for expansion."""
+    + canonicalized outlinks for expansion.
+
+    Output assembly is COLUMNAR: per-column Python lists feed one
+    dict-of-columns DataFrame per batch (pandas' fast path straight to
+    Arrow), never a list of per-row dicts (pandas' slowest constructor —
+    it re-infers dtypes cell by cell).  Scalar passthrough columns reuse
+    the input batch's Arrow-backed series without touching the row loop.
+    Outlink canonicalization is memoized per task: the synthetic link
+    space (like a real crawl's) repeats hot targets, so most links hit
+    the memo instead of re-running the canonicalizer."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        canon_memo: dict[str, tuple[str, str, str]] = {}
         for pdf in batches:
-            rows = []
-            for cu, host, uh, depth, gseq in zip(
-                pdf["canon_url"], pdf["host"], pdf["url_hash"],
-                pdf["depth"], pdf["global_seq"], strict=True,
+            image_ids: list = []
+            blobs: list = []
+            ws: list = []
+            hs: list = []
+            fmts: list = []
+            captions: list = []
+            phashes: list = []
+            outlinks_col: list = []
+            for cu, host, uh in zip(
+                pdf["canon_url"], pdf["host"], pdf["url_hash"], strict=True,
             ):
+                uh = int(uh)
                 links = []
-                for j, raw in enumerate(synth.outlinks(cu, n_hosts)):
-                    ccu = canonicalize(raw)
+                # uh == murmur64(canon_url) by construction (wave.py sets
+                # url_hash with the murmur64 column) — passing it skips
+                # the pure-Python murmur64 recompute per page
+                for j, raw in enumerate(synth.outlinks(cu, n_hosts, uh)):
+                    hit = canon_memo.get(raw)
+                    if hit is None:
+                        fast = fast_canonical_parts(raw)
+                        if fast is not None:
+                            hit = (raw, fast[0], fast[1])
+                        else:
+                            ccu = canonicalize(raw)
+                            hit = (ccu, host_of(ccu), path_of(ccu))
+                        canon_memo[raw] = hit
                     links.append({
-                        "j": j, "raw": raw, "canon_url": ccu,
-                        "host": host_of(ccu), "path": path_of(ccu),
+                        "j": j, "canon_url": hit[0], "host": hit[1],
+                        "path": hit[2],
                     })
                 p = payload_for(int(uh), host, wave)
-                p.update(
-                    url=cu, canon_url=cu, host=host, wave=wave,
-                    fetched_seq=int(gseq), depth=int(depth),
-                    parent_url_hash=int(uh),
-                    outlinks=links,
-                )
-                rows.append(p)
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-                    "url", "canon_url", "host", "wave", "fetched_seq",
-                    "depth", "parent_url_hash", "outlinks",
-                ],
-            )
+                image_ids.append(p["image_id"])
+                blobs.append(p["bytes"])
+                ws.append(p["w"])
+                hs.append(p["h"])
+                fmts.append(p["fmt"])
+                captions.append(p["caption"])
+                phashes.append(p["phash"])
+                outlinks_col.append(links)
+            yield pd.DataFrame({
+                "image_id": image_ids,
+                "bytes": blobs,
+                "w": ws,
+                "h": hs,
+                "fmt": fmts,
+                "caption": captions,
+                "phash": phashes,
+                # .to_numpy(): strip the source index so every column
+                # aligns positionally with the plain lists above
+                "url": pdf["canon_url"].to_numpy(),
+                "canon_url": pdf["canon_url"].to_numpy(),
+                "host": pdf["host"].to_numpy(),
+                "wave": wave,
+                "fetched_seq": pdf["global_seq"].to_numpy(),
+                "depth": pdf["depth"].to_numpy(),
+                "parent_url_hash": pdf["url_hash"].to_numpy(),
+                "outlinks": outlinks_col,
+            })
 
     return admitted.mapInPandas(gen, schema=FETCHED_SCHEMA)

@@ -221,7 +221,7 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
         F.explode("outlinks").alias("ol"),
     ).select(
         "parent_hash", "parent_depth", "parent_seq",
-        F.col("ol.j").alias("j"), F.col("ol.raw").alias("url"),
+        F.col("ol.j").alias("j"),
         F.col("ol.canon_url").alias("canon_url"),
         F.col("ol.host").alias("host"), F.col("ol.path").alias("path"),
     )

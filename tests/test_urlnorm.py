@@ -4,7 +4,12 @@ import string
 
 from hypothesis import given, settings, strategies as st
 
-from commentsearchengine_spark.functions.urlnorm import canonicalize, host_of, path_of
+from commentsearchengine_spark.functions.urlnorm import (
+    canonicalize,
+    fast_canonical_parts,
+    host_of,
+    path_of,
+)
 
 CASES = [
     # lowercase scheme + host
@@ -49,6 +54,27 @@ def test_total_and_idempotent(s):
     assert canonicalize(c) == c
     host_of(c)
     path_of(c)
+
+
+@given(st.text(alphabet=string.printable, max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_fast_path_is_identity_only(s):
+    """fast_canonical_parts claims canonical ONLY when the full
+    canonicalizer is provably the identity, and its parts agree with
+    host_of/path_of — on arbitrary printable strings."""
+    for u in (s, "https://" + s, "http://x.io/" + s):
+        fast = fast_canonical_parts(u)
+        if fast is not None:
+            assert canonicalize(u) == u, u
+            assert fast == (host_of(u), path_of(u)), u
+
+
+def test_fast_path_hits_canonical_urls():
+    assert fast_canonical_parts("https://x.io/a/b/") == ("x.io", "/a/b/")
+    # every transform-needing case must fall back to the full path
+    for raw, want in CASES:
+        if raw != want:
+            assert fast_canonical_parts(raw) is None, raw
 
 
 def test_host_and_path():
