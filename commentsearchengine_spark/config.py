@@ -41,12 +41,28 @@ class EngineConfig:
     # exercise them at small scale)
     seed_spread_hosts: int = 0   # 0 = all seeds on the WaPo host
     budget_scale: float = 1.0    # multiplies politeness capacity/refill
+    # ---- plan-level knobs (never change results => NOT in config_hash)
+    # admission pass-1 reads head-tier frontier files covering this
+    # multiple of the wave's total budget (operators/admission.py)
+    admission_head_factor: int = 4
+    # row-proportional write partitioning: target rows per parquet file
+    # for the per-wave table writes (plans/wave.py)
+    write_rows_per_file: int = 5_000_000
+    # bloom "maybe" sets up to this many rows verify via broadcast
+    # collision joins (stream the big tables, zero shuffle); larger sets
+    # fall back to plain shuffle anti-joins (plans/wave.py)
+    backstop_broadcast_max_rows: int = 500_000
+
+    _PLAN_ONLY = ("n_waves", "admission_head_factor", "write_rows_per_file",
+                  "backstop_broadcast_max_rows")
 
     def config_hash(self) -> str:
         """Hash of the semantics-affecting parameters.  ``n_waves`` is a
         run target, not state semantics — resuming a 2-wave run with
-        n_waves=4 must be legal (SURVEY §5.5)."""
+        n_waves=4 must be legal (SURVEY §5.5); the _PLAN_ONLY knobs tune
+        physical plans and never change any table's contents."""
         d = asdict(self)
-        d.pop("n_waves")
+        for k in self._PLAN_ONLY:
+            d.pop(k)
         return hashlib.sha256(
             json.dumps(d, sort_keys=True).encode()).hexdigest()[:16]

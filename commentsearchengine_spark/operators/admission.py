@@ -33,6 +33,126 @@ def admit(frontier: DataFrame, hosts: DataFrame) -> DataFrame:
     )
 
 
+def choose_cut(entries: list[dict], want_rows: int) -> int | None:
+    """Pick the smallest priority cut whose tier files cover at least
+    ``want_rows`` manifest rows (None => no usable stats, scan all).
+
+    The frontier is stored priority-tiered (plans/wave.py writes head
+    and tail separately and carries untouched deep files forward), so
+    per-file [min,max] priority is tight and the head tiers hold the
+    admissible rows; deep tiers — the bulk of a 10^10-row frontier —
+    are never read by pass 1."""
+    tiers: list[tuple[int, int]] = []  # (min_priority, rows)
+    for e in entries:
+        rng = (e.get("stats") or {}).get("priority")
+        if rng is None:
+            return None  # a statless file could hold any priority
+        tiers.append((rng[0], e.get("rows") or 0))
+    if not tiers:
+        return None
+    tiers.sort()
+    covered, cut = 0, tiers[0][0]
+    for mn, rows in tiers:
+        if covered >= want_rows and mn > cut:
+            break
+        covered += rows
+        cut = max(cut, mn)
+    return cut
+
+
+def admit_pruned(spark, cat, hosts: DataFrame, schema_ddl: str,
+                 head_factor: int = 4,
+                 persists: list | None = None) -> DataFrame:
+    """Q1 with manifest pruning: rank only the frontier's plausible head.
+
+    Pass 1 scans just the frontier files whose min priority lies under a
+    cut chosen to cover ``head_factor`` x the wave's total admission
+    need, and window-ranks rows with priority <= cut.  A host whose head
+    candidate count reaches need(host) = min(floor(tokens),
+    frontier_rows) is served EXACTLY there: the per-host order starts
+    with priority, so its need smallest rows cannot hide above the cut.
+    ``hosts.frontier_rows`` (incrementally maintained backlog, see
+    schemas.HOSTS) proves coverage for fully-drained and
+    fully-head-resident hosts without touching deep tiers.  Hosts the
+    head cannot prove covered (freshly discovered deep hosts) fall back
+    to a pass-2 rank over the full frontier restricted to just those
+    hosts — and pass 2 is skipped entirely when no such host exists.
+
+    Result == admit() over the whole frontier, bit for bit, at any
+    partition count (tests/test_admission.py + test_crawl_match.py).
+    Persisted intermediates are appended to ``persists`` for the caller
+    to unpersist once its actions complete."""
+    budgets = hosts.select(
+        "host",
+        F.least(
+            F.floor("tokens").cast("long"), F.col("frontier_rows")
+        ).alias("need"),
+        F.floor("tokens").cast("long").alias("budget"),
+    ).filter(F.col("need") > 0).persist()
+    if persists is not None:
+        persists.append(budgets)
+    want = budgets.agg(
+        F.coalesce(F.sum("need"), F.lit(0)).cast("long")
+    ).collect()[0][0]
+    entries = cat.table_files("frontier")
+    cut = choose_cut(entries, int(want) * head_factor)
+    w = Window.partitionBy("host").orderBy(*[F.col(c) for c in ORDER_COLS])
+
+    if cut is not None and len(
+        cat.table_files("frontier", where=[("priority", "<=", cut)])
+    ) == len(entries):
+        # the cut excludes nothing (budgets reach deep into every tier,
+        # or the frontier is shallow): the coverage-check machinery
+        # would only add jobs — rank the whole table once instead
+        cut = None
+    if cut is None:
+        frontier = cat.scan(spark, "frontier", schema_ddl=schema_ddl)
+        return (
+            frontier.join(F.broadcast(budgets), "host")
+            .withColumn("rank_in_host", F.row_number().over(w))
+            .filter(F.col("rank_in_host") <= F.col("budget"))
+            .drop("budget", "need")
+        )
+
+    head = cat.scan(
+        spark, "frontier", schema_ddl=schema_ddl,
+        where=[("priority", "<=", cut)],
+    ).filter(F.col("priority") <= cut)
+    # coverage check FIRST, via a partial-aggregated count (map-side
+    # combine, no wide row shuffle, no window) — the expensive per-host
+    # ranking then runs exactly ONCE, over whichever row set the check
+    # proves sufficient.  short is derived from BUDGETS (all hosts with
+    # live backlog), not from head rows: a needy host with zero head
+    # candidates (freshly discovered deep host) must reach pass 2 too.
+    head_counts = head.groupBy("host").agg(F.count("*").alias("n_head"))
+    short = (
+        budgets.join(head_counts, "host", "left")
+        .filter(F.coalesce("n_head", F.lit(0)) < F.col("need"))
+        .select("host")
+        .persist()
+    )
+    if persists is not None:
+        persists.append(short)
+    n_short = short.count()
+
+    def rank_and_admit(rows: DataFrame) -> DataFrame:
+        return (
+            rows.join(F.broadcast(budgets), "host")
+            .withColumn("rank_in_host", F.row_number().over(w))
+            .filter(F.col("rank_in_host") <= F.col("budget"))
+            .drop("budget", "need")
+        )
+
+    if n_short == 0:
+        return rank_and_admit(head)
+    pass1 = rank_and_admit(
+        head.join(F.broadcast(short), "host", "left_anti"))
+    full = cat.scan(spark, "frontier", schema_ddl=schema_ddl)
+    pass2 = rank_and_admit(
+        full.join(F.broadcast(short), "host", "left_semi"))
+    return pass1.unionByName(pass2)
+
+
 def assign_global_seq(admitted: DataFrame, base: int) -> DataFrame:
     """global_seq = base + prefix_sum(admitted counts by host ASC) + rank."""
     counts = admitted.groupBy("host").agg(
@@ -54,7 +174,9 @@ def update_tokens(hosts: DataFrame, admitted: DataFrame) -> DataFrame:
     """tokens' = min(capacity, tokens − admitted + refill_per_wave / max(1, crawl_delay)).
 
     Same expression tree as the oracle so IEEE double results are
-    bit-identical."""
+    bit-identical.  Also decrements the host's ``frontier_rows`` backlog
+    by its admitted count (admission is the only operation that removes
+    frontier rows; insertion is credited in plans/wave.py)."""
     admitted_counts = admitted.groupBy("host").agg(
         F.count("*").cast("double").alias("admitted_n"))
     return (
@@ -68,6 +190,10 @@ def update_tokens(hosts: DataFrame, admitted: DataFrame) -> DataFrame:
                 + F.col("refill_per_wave")
                 / F.greatest(F.lit(1.0), F.col("crawl_delay")),
             ),
+        )
+        .withColumn(
+            "frontier_rows",
+            F.col("frontier_rows") - F.col("admitted_n").cast("long"),
         )
         .drop("admitted_n")
     )

@@ -31,7 +31,7 @@ from ..fixtures import synth
 from ..functions.spark_cols import bucket_col, murmur64_col
 from ..operators import admission, bloom
 from ..operators.canonicalize import with_canonical
-from ..operators.dedup import anti_join_exact, dedup_within_wave, make_host_budget_udf
+from ..operators.dedup import dedup_within_wave, make_host_budget_udf
 from ..operators.robots import aggregate_rules, robots_table, with_robots_verdict
 from ..sources.icelite import Catalog
 
@@ -121,18 +121,26 @@ def bootstrap(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> int:
     ).persist()
 
     hosts = (
-        frontier.select("host").distinct()
+        frontier.groupBy("host")
+        .agg(F.count("*").alias("frontier_rows"))
         .withColumn("_b", make_host_budget_udf(cfg.budget_scale)(F.col("host")))
         .select(
             "host", F.col("_b.capacity").alias("tokens"),
             F.col("_b.capacity"), F.col("_b.refill_per_wave"),
-            F.col("_b.crawl_delay"))
+            F.col("_b.crawl_delay"), "frontier_rows")
     )
 
     lineage = _lineage_singlepass(
         0, cfg.n_buckets,
         {"queued": frontier, "deduped": dups, "robots_blocked": blocked},
     )
+
+    # bloom covers DISCOVERED URLs (frontier ∪ seen): every URL entering
+    # the frontier is inserted at discovery, so later waves' probes have
+    # no false negatives against frontier membership either — fresh
+    # candidates skip the exact frontier anti-join, not just seen's
+    empty_shards = spark.createDataFrame([], schemas.BLOOM_SHARDS)
+    shards0 = bloom.build_shards(frontier, empty_shards, cfg)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -141,6 +149,7 @@ def bootstrap(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> int:
         ("frontier", frontier.repartition(4, "host"), "overwrite"),
         ("hosts", hosts, "overwrite"),
         ("lineage", lineage, "overwrite"),
+        ("bloom_shards", shards0, "overwrite"),
     ]
     with ThreadPoolExecutor(max_workers=len(boot_writes)) as pool:
         for fut in [
@@ -159,7 +168,27 @@ def bootstrap(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> int:
 
 
 def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
-    """One crawl wave = one batch job + one snapshot commit."""
+    """One crawl wave = one batch job + one snapshot commit.
+
+    Per-wave cost is bounded by the ADMITTED + DISCOVERED sets, not the
+    frontier size — the property that keeps a 10^10-row frontier
+    crawlable:
+
+    - admission ranks only the priority-tiered head files
+      (admission.admit_pruned + icelite manifest pruning);
+    - the frontier is never rewritten wholesale: deep-tier files that
+      provably contain no admitted row carry forward untouched in the
+      manifest, only head files are rewritten minus the admitted rows;
+    - candidate dedup probes a bloom over DISCOVERED URLs (frontier ∪
+      seen), so fresh candidates (the vast majority) skip every exact
+      join; the few "maybe" collisions verify via broadcast-collision
+      joins that STREAM the big tables (one columnar key-column scan,
+      zero shuffle of frontier/seen);
+    - politeness_deferred derives from the lineage history's backlog
+      algebra (Σ queued − Σ fetched per bucket) instead of counting the
+      live frontier;
+    - write parallelism is row-proportional (cfg.write_rows_per_file),
+      never a fixed coalesce(1) barrier."""
     t0 = time.monotonic()
     snap = cat.load_snapshot()
     assert snap is not None, "bootstrap first"
@@ -168,7 +197,9 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     base = int(snap.state["global_seq"])
     nb = cfg.n_buckets
 
-    frontier = cat.scan(spark, "frontier", schema_ddl=schemas.FRONTIER).persist()
+    def parts_for(n: int, floor_parts: int = 1) -> int:
+        return max(floor_parts, min(1024, n // cfg.write_rows_per_file + 1))
+
     hosts = cat.scan(spark, "hosts", schema_ddl=schemas.HOSTS)
     seen = cat.scan(spark, "seen", schema_ddl=schemas.SEEN)
     shards = cat.scan(spark, "bloom_shards", schema_ddl=schemas.BLOOM_SHARDS)
@@ -183,9 +214,18 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
 
     tick = [time.monotonic()]
 
-    # ---- Q1/O1: admission + crawl order -----------------------------------
-    admitted = admission.assign_global_seq(
-        admission.admit(frontier, hosts), base).persist()
+    # ---- Q1/O1: pruned admission + crawl order ----------------------------
+    wave_persists: list[DataFrame] = []
+    # persist the ranked-admitted set (small: <= Σ budgets) BEFORE the
+    # global-seq assembly — its prefix-sum offsets are a broadcast
+    # subquery over the same rows, which would otherwise re-run the
+    # ranking window a second time inside the one action
+    ranked_admitted = admission.admit_pruned(
+        spark, cat, hosts, schemas.FRONTIER,
+        head_factor=cfg.admission_head_factor,
+        persists=wave_persists).persist()
+    wave_persists.append(ranked_admitted)
+    admitted = admission.assign_global_seq(ranked_admitted, base).persist()
     n_admitted = admitted.count()
     _mark("admit", tick)
 
@@ -196,11 +236,6 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
         "canon_url", "url_hash", F.lit(wave).alias("first_wave"))
     seen_updated = seen.unionByName(seen_new)
     hosts_updated = admission.update_tokens(hosts, admitted)
-    remaining = frontier.join(
-        admitted.select("canon_url"), "canon_url", "left_anti").persist()
-
-    # ---- B1: bloom covers seen_updated BEFORE any probe this wave ---------
-    shards_updated = bloom.build_shards(seen_new, shards, cfg).persist()
 
     # ---- P0b + F1/F2/F3: salted fetch -------------------------------------
     par = spark.sparkContext.defaultParallelism
@@ -239,67 +274,185 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     ).persist()
 
     uniq = dedup_within_wave(allowed)
-    probed = bloom.probe(uniq, shards_updated, cfg)
+    # the snapshot's bloom covers every URL ever discovered (frontier ∪
+    # seen as of wave start; this wave's admitted rows were frontier
+    # members, hence already inside) — no pre-probe rebuild needed.
+    # persist the probed set: BOTH branches below (fresh + maybe) and
+    # the backstop broadcasts read it, and without the cache the D1
+    # window + probe UDF would re-run once per consumer.
+    probed = bloom.probe(uniq, shards, cfg).persist()
+    wave_persists.append(probed)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    not_seen = fresh.unionByName(anti_join_exact(maybe, seen_updated))
-    new_entries = anti_join_exact(not_seen, remaining).select(
+    # exact backstops run ONLY on the maybe set; the full frontier scan
+    # below includes this wave's admitted rows, but those are already
+    # excluded by the seen backstop (admitted ⊆ seen_updated), so the
+    # verdict equals an anti-join against frontier-minus-admitted.
+    # Strategy picked WITHOUT an extra count job: the maybe set is
+    # bounded by this wave's candidates (n_admitted x MAX_OUT).
+    frontier_full = cat.scan(spark, "frontier", schema_ddl=schemas.FRONTIER)
+    if n_admitted * synth.MAX_OUT <= cfg.backstop_broadcast_max_rows:
+        # shuffle-free: ONE broadcast of the maybe keys streams both big
+        # tables (columnar key-column scans, no shuffle, no build side)
+        keys = maybe.select("canon_url").distinct()
+        collisions = (
+            seen_updated.select("canon_url")
+            .join(F.broadcast(keys), "canon_url", "left_semi")
+            .unionByName(
+                frontier_full.select("canon_url")
+                .join(F.broadcast(keys), "canon_url", "left_semi"))
+        )
+        surviving_maybe = maybe.join(
+            F.broadcast(collisions), "canon_url", "left_anti")
+    else:
+        # candidate volume too big to broadcast: plain anti-joins
+        surviving_maybe = maybe.join(
+            seen_updated.select("canon_url"), "canon_url", "left_anti"
+        ).join(
+            frontier_full.select("canon_url"), "canon_url", "left_anti")
+    new_entries = fresh.unionByName(surviving_maybe).select(
         *FRONTIER_COLS).persist()
+    n_new = new_entries.count()
+    _mark("expand", tick)
 
-    frontier_next = remaining.unionByName(new_entries)
+    # ---- B1: new discoveries enter the bloom ------------------------------
+    shards_updated = bloom.build_shards(new_entries, shards, cfg)
 
+    # ---- hosts: tokens updated above; credit new backlog ------------------
+    new_counts = new_entries.groupBy("host").agg(
+        F.count("*").alias("add_rows"))
+    hosts_credited = (
+        hosts_updated.join(new_counts, "host", "left")
+        .withColumn(
+            "frontier_rows",
+            F.col("frontier_rows") + F.coalesce("add_rows", F.lit(0)))
+        .drop("add_rows")
+    )
     new_hosts = (
-        new_entries.select("host").distinct()
+        new_counts
         .join(hosts_updated.select("host"), "host", "left_anti")
         .withColumn("_b", make_host_budget_udf(cfg.budget_scale)(F.col("host")))
         .select("host", F.col("_b.capacity").alias("tokens"),
                 F.col("_b.capacity"), F.col("_b.refill_per_wave"),
-                F.col("_b.crawl_delay")))
-    hosts_next = hosts_updated.unionByName(new_hosts)
+                F.col("_b.crawl_delay"),
+                F.col("add_rows").alias("frontier_rows")))
+    hosts_next = hosts_credited.unionByName(new_hosts)
 
-    # ---- L1: lineage (one shuffle for all five counters) ------------------
-    lineage = _lineage_singlepass(
+    # ---- L1: lineage — current counters + history backlog, NO frontier scan
+    cur = _lineage_singlepass(
         wave, nb,
         {
-            "frontier": frontier,
             "admitted": admitted,
             "allowed": allowed,
             "queued": new_entries,
             "robots_blocked": blocked,
         },
+    ).drop("politeness_deferred")
+    # backlog(bucket) = frontier rows at wave start = Σ queued − Σ fetched
+    # over all prior lineage rows (wave 0 queued the seeds)
+    hist = (
+        cat.scan(spark, "lineage", schema_ddl=schemas.LINEAGE)
+        .groupBy("bucket")
+        .agg((F.sum("queued") - F.sum("fetched")).alias("backlog"))
+    )
+    lineage = (
+        cur.join(hist, "bucket", "full")
+        .filter(
+            (F.coalesce("backlog", F.lit(0)) > 0) | F.col("wave").isNotNull()
+        )
+        .select(
+            F.lit(wave).alias("wave"),
+            "bucket",
+            *[
+                F.coalesce(c, F.lit(0)).cast("long").alias(c)
+                for c in ("fetched", "queued", "deduped", "robots_blocked")
+            ],
+            (
+                F.coalesce("backlog", F.lit(0))
+                - F.coalesce("fetched", F.lit(0))
+            ).cast("long").alias("politeness_deferred"),
+        )
     )
 
+    # ---- frontier: carry-forward commit -----------------------------------
+    # Files whose min priority exceeds the deepest admitted row provably
+    # contain no admitted row -> their manifest entries carry forward
+    # byte-untouched.  Only the head files rewrite (minus admitted, via a
+    # BROADCAST anti-join: the big side streams, nothing shuffles), and
+    # the wave's discoveries append as fresh priority-clustered files.
+    p_hi = admitted.agg(F.max("priority")).collect()[0][0]
+    entries = cat.table_files("frontier")
+
+    def _min_priority(e: dict):
+        rng = (e.get("stats") or {}).get("priority")
+        return None if rng is None else rng[0]
+
+    if p_hi is None:  # nothing admitted: every file carries forward
+        untouched, touched = entries, []
+    else:
+        untouched = [
+            e for e in entries
+            if _min_priority(e) is not None and _min_priority(e) > p_hi
+        ]
+        touched = [
+            e for e in entries
+            if _min_priority(e) is None or _min_priority(e) <= p_hi
+        ]
+
+    def tiered(df: DataFrame, n_rows: int) -> DataFrame:
+        """Priority-clustered files for tight manifest stats; a single
+        output file needs no range sampling pass."""
+        parts = parts_for(n_rows)
+        if parts <= 1:
+            return df.repartition(1)
+        return df.repartitionByRange(parts, "priority", "disc_seq")
+
+    def write_frontier() -> None:
+        cat.stage_entries("frontier", untouched)
+        if touched:
+            touched_rows = sum(e.get("rows") or 0 for e in touched)
+            rewrite = cat.scan_entries(
+                spark, touched, schemas.FRONTIER
+            ).join(
+                F.broadcast(admitted.select("canon_url")),
+                "canon_url", "left_anti",
+            ).select(*FRONTIER_COLS)
+            cat.stage_write(
+                tiered(rewrite, touched_rows), "frontier",
+                mode="stage-append")
+        if n_new > 0:
+            cat.stage_write(
+                tiered(new_entries, n_new), "frontier", mode="stage-append")
+
     # ---- S3/K1: writes + atomic snapshot commit ---------------------------
-    # materialize the expansion chain once (fills the persists) ...
-    n_new = new_entries.count()
-    _mark("expand", tick)
-    # ... then the seven table writes are independent jobs over persisted
-    # inputs: run them from concurrent driver threads so wall-time is
-    # max(write) not sum(write).  On a cluster this overlaps executor IO
-    # with the driver's job-scheduling latency per table.
+    # independent jobs over persisted inputs, run from concurrent driver
+    # threads so wall-time is max(write) not sum(write)
     writes: list[tuple[str, DataFrame, str]] = [
-        ("frontier", frontier_next.repartition(
-            max(4, min(nb, par)), "host"), "overwrite"),
-        ("seen", seen_new.repartition(2), "append"),
-        ("hosts", hosts_next.coalesce(1), "overwrite"),
-        ("crawl_log", crawl_log_new.coalesce(1), "append"),
+        ("seen", seen_new.repartition(parts_for(n_admitted)), "append"),
+        ("hosts", hosts_next.repartition(
+            parts_for(max(n_admitted, n_new))), "overwrite"),
+        ("crawl_log", crawl_log_new.repartition(
+            parts_for(n_admitted)), "append"),
         ("lineage", lineage.coalesce(1), "append"),
         ("pages", pages_new, "append"),
         ("bloom_shards", shards_updated, "overwrite"),
     ]
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+    with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
         futs = {
             name: pool.submit(cat.stage_write, df, name, mode)
             for name, df, mode in writes
         }
+        futs["frontier"] = pool.submit(write_frontier)
         for name, fut in futs.items():
             fut.result()
     _mark("writes", tick)
     wall = time.monotonic() - t0
     metrics = {
         "wave": wave, "admitted": n_admitted, "new_frontier": n_new,
+        "frontier_files_carried": len(untouched),
+        "frontier_files_rewritten": len(touched),
         "wall_sec": round(wall, 3),
         "urls_per_sec": round(n_admitted / wall, 2) if wall > 0 else None,
         "phases": timings,
@@ -310,8 +463,8 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
                "config_hash": cfg.config_hash()},
         metrics=metrics)
 
-    for df in (frontier, admitted, remaining, shards_updated, fetched,
-               judged, allowed, new_entries):
+    for df in (admitted, fetched, judged, allowed, new_entries,
+               *wave_persists):
         df.unpersist()
     bloom.release_broadcasts()  # probe jobs are done once writes commit
     return metrics

@@ -18,9 +18,13 @@ FRONTIER = (
 
 SEEN = "canon_url string, url_hash long, first_wave int"
 
+# frontier_rows = this host's live frontier backlog, maintained
+# incrementally (+queued, -admitted) so admission can prove whether the
+# pruned head scan fully covers a host WITHOUT scanning the frontier
+# (operators/admission.py::admit_pruned)
 HOSTS = (
     "host string, tokens double, capacity double, refill_per_wave double, "
-    "crawl_delay double"
+    "crawl_delay double, frontier_rows long"
 )
 
 ROBOTS = "host string, rule string, path_prefix string, rule_order int"

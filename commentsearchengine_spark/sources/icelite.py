@@ -211,6 +211,16 @@ class Catalog:
             reader = reader.schema(schema_ddl)
         return reader.parquet(*paths)
 
+    def scan_entries(self, spark: SparkSession, entries: list[Any],
+                     schema_ddl: str) -> DataFrame:
+        """Read exactly the given manifest entries (e.g. the subset of a
+        table's files a predicate could not exclude — the caller's own
+        scan planning over ``table_files``)."""
+        if not entries:
+            return spark.createDataFrame([], schema_ddl)
+        paths = [os.path.join(self.root, _entry_path(e)) for e in entries]
+        return spark.read.schema(schema_ddl).parquet(*paths)
+
     def table_files(self, table: str, snapshot_id: int | None = None,
                     where: list[tuple] | None = None) -> list[dict]:
         """Manifest entries (post-pruning) — for tests and row counts."""
@@ -224,12 +234,23 @@ class Catalog:
         ]
 
     # ----------------------------------------------------------- writes
+    def stage_entries(self, table: str, entries: list[Any]) -> None:
+        """Seed the NEXT snapshot's file list for ``table`` with existing
+        manifest entries (carry-forward without rewriting data files —
+        the icelite analogue of Iceberg keeping untouched data files
+        across a row-level delete commit).  Later ``stage_write(...,
+        mode='stage-append')`` calls add new files on top."""
+        with self._lock:
+            self._staged[table] = list(entries)
+
     def stage_write(self, df: DataFrame, table: str, mode: str = "overwrite",
                     partitions: int | None = None) -> int:
         """Write ``df`` as new Parquet files for ``table`` into the staging
         area of the NEXT snapshot.  ``mode='append'`` keeps the current
-        snapshot's files; ``'overwrite'`` replaces them.  Returns the row
-        count written (from Spark's write, no extra action)."""
+        snapshot's files; ``'overwrite'`` replaces them;
+        ``'stage-append'`` adds to whatever is already staged for this
+        table (use after ``stage_entries`` or a prior stage_write of the
+        same table).  Returns the file count written."""
         rel_dir = os.path.join("data", table, uuid.uuid4().hex[:12])
         out_dir = os.path.join(self.root, rel_dir)
         if partitions is not None:
@@ -247,6 +268,8 @@ class Catalog:
             if snap is not None:
                 prev = list(snap.tables.get(table, []))
         with self._lock:
+            if mode == "stage-append":
+                prev = self._staged.get(table, [])
             self._staged[table] = prev + entries
         return len(entries)
 
