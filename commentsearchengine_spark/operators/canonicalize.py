@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType, StructField, StructType
 
-from ..functions.urlnorm import canonicalize, host_of, path_of
+from ..functions.urlnorm import (
+    canonicalize,
+    fast_canonical_parts,
+    host_of,
+    path_of,
+)
 
 _CANON_SCHEMA = StructType([
     StructField("canon_url", StringType()),
@@ -30,16 +35,21 @@ _CANON_SCHEMA = StructType([
 ])
 
 
+def _canon_parts(url: str) -> tuple[str, str, str]:
+    # already-canonical URLs (most of a real link stream) skip the full
+    # urlsplit pipeline — fast_canonical_parts claims identity only when
+    # provable (property-tested in tests/test_urlnorm.py)
+    fast = fast_canonical_parts(url)
+    if fast is not None:
+        return url, fast[0], fast[1]
+    c = canonicalize(url)
+    return c, host_of(c), path_of(c)
+
+
 @pandas_udf(_CANON_SCHEMA)
 def canon_struct_udf(urls: pd.Series) -> pd.DataFrame:
-    canon = urls.map(canonicalize)
-    return pd.DataFrame(
-        {
-            "canon_url": canon,
-            "host": canon.map(host_of),
-            "path": canon.map(path_of),
-        }
-    )
+    rows = [_canon_parts(u) for u in urls]
+    return pd.DataFrame(rows, columns=["canon_url", "host", "path"])
 
 
 def with_canonical(df, url_col: str = "url"):

@@ -3,16 +3,18 @@
 Each crawl wave is ONE Spark batch job ending in ONE atomic icelite
 snapshot commit (the wave barrier), per BASELINE.json:6.  The dataflow:
 
-  frontier ──admit(Q1: host-window rank ≤ floor(tokens))──▶ admitted
+  frontier(head files) ─admit(Q1: manifest-pruned 2-pass rank)─▶ admitted
      │                │
      │                ├─ global_seq (O1: prefix-sum offsets, no global sort)
      │                ├─ crawl_log / seen append
-     │                ├─ token-bucket update (P1)
+     │                ├─ token-bucket + backlog update (P1)
      │                └─ fetch (F1/F2/F3: mapInPandas, salted repartition P0b)
-     │                        └─ outlinks ─ canonicalize (C1, Arrow UDF)
+     │                        └─ outlinks (pre-canonicalized, C1 in-pass)
      │                             └─ robots gate (P2, broadcast+HOF)
-     │                                  └─ D1 dedup ─ bloom B2 ─ B3 anti-joins
-     └──────────────── remaining ────────────────────▶ frontier′ = remaining ∪ new
+     │                                  └─ D1 dedup ─ bloom B2 (discovered set)
+     │                                       └─ B3 collision backstop ─▶ new
+     ├─ head files rewritten minus admitted ─▶ frontier′ staged files
+     └─ deep-tier files carried forward BYTE-UNTOUCHED in the manifest
 
 Every ordering decision uses the total orders of §1.4, so the result is
 bit-identical to oracle/seqcrawl.py at ANY partition count — that is the
@@ -226,7 +228,11 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
         persists=wave_persists).persist()
     wave_persists.append(ranked_admitted)
     admitted = admission.assign_global_seq(ranked_admitted, base).persist()
-    n_admitted = admitted.count()
+    # one driver action for BOTH per-wave scalars (row count + deepest
+    # admitted priority for the carry-forward split) — every extra
+    # action is a cluster-wide barrier
+    n_admitted, p_hi = admitted.agg(
+        F.count("*"), F.max("priority")).collect()[0]
     _mark("admit", tick)
 
     crawl_log_new = admitted.select(
@@ -380,7 +386,6 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     # byte-untouched.  Only the head files rewrite (minus admitted, via a
     # BROADCAST anti-join: the big side streams, nothing shuffles), and
     # the wave's discoveries append as fresh priority-clustered files.
-    p_hi = admitted.agg(F.max("priority")).collect()[0][0]
     entries = cat.table_files("frontier")
 
     def _min_priority(e: dict):

@@ -172,13 +172,17 @@ def q_tfidf_search(spark: SparkSession, sf: str) -> DataFrame:
     doc_id."""
     terms = ("spark", "join", "window")
     t = tokens_df(spark, sf)
-    n_docs = t.select("doc_id").distinct().count()
+    # corpus size as a broadcast single-row relation, not an eager
+    # .count() — the whole search stays ONE lazy job
+    n = t.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs"))
     qt = t.filter(F.col("term").isin(*terms))
     tf = qt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         tf.join(F.broadcast(df), "term")
-        .withColumn("w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .crossJoin(F.broadcast(n))
+        .withColumn("w", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
         .groupBy("doc_id")
         .agg(F.round(F.sum("w"), 6).alias("score"))
     )
