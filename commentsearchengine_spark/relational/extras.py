@@ -153,8 +153,103 @@ def q_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return back.orderBy("r_regionkey").select("r_regionkey", "r_name")
 
 
+def q_bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed co-located join (SURVEY §4 'bucketing / pre-partitioning'
+    scale lever): both sides written bucketed+sorted on the join key, so
+    the SortMergeJoin runs with ZERO Exchange — at 100 TB this is the
+    difference between re-shuffling two fact tables every query and a
+    scan-side merge.  BENCH/PLANS.md carries the exchange-free plan.
+
+    Results are identical to the plain join, so the DuckDB oracle checks
+    values exactly; the bucketed layout is the Spark-side physical
+    demonstration."""
+    orders, customer = load(spark, sf, "orders", "customer")
+    key = os.path.basename(os.path.normpath(sf)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"cse_bucketed_{key}")
+    for name, df, col in (
+        (f"orders_bkt_{key}", orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice"), "o_custkey"),
+        (f"customer_bkt_{key}", customer.select(
+            "c_custkey", "c_mktsegment"), "c_custkey"),
+    ):
+        if not spark.catalog.tableExists(name):
+            (df.write.bucketBy(8, col).sortBy(col)
+             .option("path", os.path.join(base, name))
+             .mode("overwrite").saveAsTable(name))
+    ob = spark.table(f"orders_bkt_{key}")
+    cb = spark.table(f"customer_bkt_{key}")
+    # merge hint: at testdata scale Catalyst would broadcast the tiny
+    # side, hiding the exhibit — at fact-x-fact scale SMJ is the only
+    # option and bucketing is what removes its exchanges
+    return (
+        ob.join(cb.hint("merge"), ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_BUCKETED_COLOCATED_JOIN = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_regression_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """Regression/covariance aggregate family (regr_slope/intercept/r2,
+    covar_samp) — quantity vs extended price per return flag."""
+    (li,) = load(spark, sf, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.covar_samp(y, x), 4).alias("cov_yx"),
+        F.regr_count(y, x).alias("n"),
+    )
+
+
+SQL_REGRESSION_AGGS = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_yx,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_hll_sketch_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Native HLL sketches (Spark 4.x): per-priority customer sketches
+    merged with hll_union_agg into a grand-total estimate — the
+    re-aggregatable form approx_count_distinct can't give you (at 100 TB
+    you store per-partition sketches and union them, never recount).
+    Rows-only: the estimate is estimator-specific."""
+    (orders,) = load(spark, sf, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count("*").alias("n_orders"),
+    )
+    return per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+            "approx_total_customers"
+        ),
+        F.sum("n_orders").alias("n_orders"),
+        F.count("*").alias("n_sketches"),
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "udtf_tokenize": (q_udtf_tokenize, SQL_UDTF_TOKENIZE),
+    "bucketed_colocated_join": (
+        q_bucketed_colocated_join, SQL_BUCKETED_COLOCATED_JOIN),
+    "regression_aggs": (q_regression_aggs, SQL_REGRESSION_AGGS),
+    "hll_sketch_distinct": (q_hll_sketch_distinct, None),
     "grouped_agg_pandas": (q_grouped_agg_pandas, SQL_GROUPED_AGG_PANDAS),
     "scalar_pandas_udf": (q_scalar_pandas_udf, SQL_SCALAR_PANDAS_UDF),
     "grouped_map_normalize": (
