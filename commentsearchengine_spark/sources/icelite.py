@@ -91,9 +91,13 @@ def _file_stats(full_path: str) -> tuple[int, dict[str, list]]:
                 continue
             name = col.path_in_schema
             lo, hi = st.min, st.max
-            # numeric only: parquet string/binary stats may be truncated
-            # BOUNDS, which would make file elimination unsound
-            if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+            # INTEGER columns only.  Strings/binary: parquet stats may be
+            # truncated BOUNDS.  Floats: Spark SQL orders NaN GREATER
+            # than every number, so a predicate like `x > v` keeps NaN
+            # rows — which parquet min/max never covers — and pruning on
+            # float stats would silently drop files holding qualifying
+            # NaN rows (caught by tests/test_icelite_pruning.py).
+            if not isinstance(lo, int) or isinstance(lo, bool):
                 continue
             coverage[name] = coverage.get(name, 0) + 1
             if name not in mins or lo < mins[name]:
@@ -196,8 +200,10 @@ class Catalog:
         MANIFEST-LEVEL file pruning on the footer min/max recorded at
         write time — the icelite stand-in for Iceberg scan planning
         (SURVEY.md §4): files that provably contain no matching row are
-        never handed to Spark.  The predicate is advisory (pruning
-        only); callers still apply the exact filter."""
+        never handed to Spark.  Only INTEGER columns carry stats (see
+        _file_stats for why floats/strings are excluded), so predicates
+        on other columns simply never prune.  The predicate is advisory
+        (pruning only); callers still apply the exact filter."""
         snap = self.load_snapshot(snapshot_id)
         entries = [] if snap is None else snap.tables.get(table, [])
         if where:

@@ -13,6 +13,14 @@ so streaming is exposed as the same operators over an event stream:
 
 All demos read a file source with ``maxFilesPerTrigger=1`` so
 micro-batch boundaries are deterministic for tests.
+
+Spark 4.x also offers ``transformWithStateInPandas`` (StatefulProcessor
+API); probed in this environment and NOT usable offline — its streaming
+Python runner requires ``google.protobuf`` (broken/absent here, no pip):
+``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE … ImportError: cannot
+import name 'descriptor' from 'google.protobuf'``.  The stateful surface
+therefore ships on ``applyInPandasWithState``, which has identical
+per-key state semantics for this use.
 """
 
 from __future__ import annotations
