@@ -62,7 +62,8 @@ def choose_cut(entries: list[dict], want_rows: int) -> int | None:
 
 def admit_pruned(spark, cat, hosts: DataFrame, schema_ddl: str,
                  head_factor: int = 4,
-                 persists: list | None = None) -> DataFrame:
+                 persists: list | None = None,
+                 want: int | None = None) -> DataFrame:
     """Q1 with manifest pruning: rank only the frontier's plausible head.
 
     Pass 1 scans just the frontier files whose min priority lies under a
@@ -91,9 +92,13 @@ def admit_pruned(spark, cat, hosts: DataFrame, schema_ddl: str,
     ).filter(F.col("need") > 0).persist()
     if persists is not None:
         persists.append(budgets)
-    want = budgets.agg(
-        F.coalesce(F.sum("need"), F.lit(0)).cast("long")
-    ).collect()[0][0]
+    if want is None:
+        # callers that carry Σ need in snapshot state (plans/wave.py
+        # observes it during the previous wave's hosts write — zero
+        # extra jobs) pass it in; otherwise one small aggregate job
+        want = budgets.agg(
+            F.coalesce(F.sum("need"), F.lit(0)).cast("long")
+        ).collect()[0][0]
     entries = cat.table_files("frontier")
     cut = choose_cut(entries, int(want) * head_factor)
     w = Window.partitionBy("host").orderBy(*[F.col(c) for c in ORDER_COLS])

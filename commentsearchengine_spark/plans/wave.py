@@ -25,7 +25,18 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
+
+# Σ over hosts of next wave's admissible rows — observed as a free
+# side-product of the hosts write (no extra job) and carried in snapshot
+# state so admission's head-cut sizing never needs its own aggregate
+def _want_expr():
+    return F.sum(
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.floor("tokens").cast("long"), F.col("frontier_rows")),
+        )
+    ).alias("next_want")
 
 from .. import schemas
 from ..config import DISC_SEQ_STRIDE, EngineConfig
@@ -146,10 +157,11 @@ def bootstrap(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> int:
 
     from concurrent.futures import ThreadPoolExecutor
 
+    boot_obs = Observation()
     boot_writes = [
         ("robots", robots, "overwrite"),
         ("frontier", frontier.repartition(4, "host"), "overwrite"),
-        ("hosts", hosts, "overwrite"),
+        ("hosts", hosts.observe(boot_obs, _want_expr()), "overwrite"),
         ("lineage", lineage, "overwrite"),
         ("bloom_shards", shards0, "overwrite"),
     ]
@@ -161,7 +173,8 @@ def bootstrap(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> int:
             fut.result()
     sid = cat.commit(
         wave=0,
-        state={"global_seq": 0, "config_hash": cfg.config_hash()},
+        state={"global_seq": 0, "config_hash": cfg.config_hash(),
+               "next_admission_want": int(boot_obs.get["next_want"] or 0)},
         metrics={"seeds": cfg.n_seeds},
     )
     judged.unpersist()
@@ -225,7 +238,8 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     ranked_admitted = admission.admit_pruned(
         spark, cat, hosts, schemas.FRONTIER,
         head_factor=cfg.admission_head_factor,
-        persists=wave_persists).persist()
+        persists=wave_persists,
+        want=snap.state.get("next_admission_want")).persist()
     wave_persists.append(ranked_admitted)
     admitted = admission.assign_global_seq(ranked_admitted, base).persist()
     # one driver action for BOTH per-wave scalars (row count + deepest
@@ -432,9 +446,10 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     # ---- S3/K1: writes + atomic snapshot commit ---------------------------
     # independent jobs over persisted inputs, run from concurrent driver
     # threads so wall-time is max(write) not sum(write)
+    want_obs = Observation()
     writes: list[tuple[str, DataFrame, str]] = [
         ("seen", seen_new.repartition(parts_for(n_admitted)), "append"),
-        ("hosts", hosts_next.repartition(
+        ("hosts", hosts_next.observe(want_obs, _want_expr()).repartition(
             parts_for(max(n_admitted, n_new))), "overwrite"),
         ("crawl_log", crawl_log_new.repartition(
             parts_for(n_admitted)), "append"),
@@ -465,7 +480,8 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     cat.commit(
         wave=wave,
         state={"global_seq": base + n_admitted,
-               "config_hash": cfg.config_hash()},
+               "config_hash": cfg.config_hash(),
+               "next_admission_want": int(want_obs.get["next_want"] or 0)},
         metrics=metrics)
 
     for df in (admitted, fetched, judged, allowed, new_entries,
