@@ -754,6 +754,130 @@ WHERE cosine >= {COSINE_THRESHOLD}
 """
 
 
+# ---- IVF ANN: coarse quantizer + inverted lists ---------------------------
+#
+# The second scale path for similarity search (brief: "IVF or LSH"):
+# IVF_K deterministic ±1 centroids (md5-parity components, shared with
+# the oracle), each vector assigned to its argmax-dot centroid (its
+# inverted list), queries probe the IVF_NPROBE nearest lists and verify
+# exact cosine only there.  At corpus scale the shuffle key is the small
+# centroid id and each query touches nprobe/K of the data.
+
+IVF_K = 16
+IVF_NPROBE = 2
+IVF_TOPK = 5
+
+
+def _centroid_dots(vec: str = "vec") -> str:
+    """Array of round(dot(vec, centroid_c), 6) for c in 0..IVF_K-1."""
+    comp = (
+        f"cast(((instr('{_HEX}', substr(md5(concat('ivf', cast(c as string),"
+        f" ':', cast(d as string))), 1, 1)) - 1) % 2) * 2 - 1 as double)"
+    )
+    dot = (
+        f"aggregate(zip_with({vec}, transform(sequence(0, 63), d -> {comp}),"
+        " (x, w) -> x * w), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    return f"transform(sequence(0, {IVF_K - 1}), c -> round({dot}, 6))"
+
+
+_SQL_CENTROID_DOTS = (
+    f"list_transform(range({IVF_K}), c -> round(list_aggregate("
+    "list_transform(range(64), d -> vec[d + 1] *"
+    " (((strpos('" + _HEX + "', substr(md5('ivf' || c::VARCHAR || ':' ||"
+    " d::VARCHAR), 1, 1)) - 1) % 2) * 2 - 1)), 'sum'), 6))"
+)
+
+# argmax over the rounded dots; first index wins ties (both engines)
+_ASSIGN = (
+    f"array_position({_centroid_dots()}, "
+    f"array_max({_centroid_dots()})) - 1"
+)
+_SQL_ASSIGN = (
+    f"list_position({_SQL_CENTROID_DOTS},"
+    f" list_aggregate({_SQL_CENTROID_DOTS}, 'max')) - 1"
+)
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: per-query top-k over the IVF_NPROBE nearest inverted
+    lists only.  Every query id (vec_id % 50 == 0) returns its probed
+    candidates ranked by exact cosine (rounded before ranking, doc-id
+    tiebreak)."""
+    (emb,) = load(spark, sf, "embeddings")
+    emb = _with_double_vec(emb)
+    assigned = emb.select(
+        "vec_id", "vec", F.expr(_ASSIGN).cast("long").alias("cid")
+    ).persist()
+    # query side: the NPROBE centroid ids by descending rounded dot
+    probe_lists = (
+        f"slice(array_sort(zip_with({_centroid_dots()},"
+        f" sequence(0, {IVF_K - 1}), (d, c) -> struct(-d as nd, c as c))),"
+        f" 1, {IVF_NPROBE})"
+    )
+    queries = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.explode(F.expr(probe_lists)).alias("p"),
+        )
+        .select(
+            "query_id", "qvec", F.col("p.c").cast("long").alias("cid")
+        )
+    )
+    cand = queries.join(assigned, "cid").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    sim = F.expr(_DOT.replace("va", "qvec").replace("vb", "vec"))
+    norm_q = F.expr(_NORM.format(v="qvec"))
+    norm_v = F.expr(_NORM.format(v="vec"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("cosine", F.round(sim / (norm_q * norm_v), 6))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "cosine"
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= IVF_TOPK)
+    )
+
+
+SQL_IVF_ANN_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+assigned AS (
+  SELECT vec_id, vec, CAST({_SQL_ASSIGN} AS BIGINT) AS cid FROM e),
+q AS (
+  SELECT vec_id AS query_id, vec AS qvec, dots FROM (
+    SELECT vec_id, vec, {_SQL_CENTROID_DOTS} AS dots FROM e
+    WHERE vec_id % 50 = 0)),
+probes AS (
+  SELECT query_id, qvec, c.c AS cid FROM (
+    SELECT query_id, qvec,
+           unnest(list_transform(range({IVF_NPROBE}),
+             i -> {{'c': list_sort(list_transform(range({IVF_K}),
+                      c -> {{'nd': -dots[c + 1], 'c': c}}))[i + 1].c}})) AS c
+    FROM q)),
+cand AS (
+  SELECT p.query_id, p.qvec, a.vec_id AS neighbor_id, a.vec
+  FROM probes p JOIN assigned a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+           AS rank
+  FROM (SELECT query_id, neighbor_id,
+               round(list_dot_product(qvec, vec)
+                     / (sqrt(list_dot_product(qvec, qvec))
+                        * sqrt(list_dot_product(vec, vec))), 6) AS cosine
+        FROM cand))
+WHERE rank <= {IVF_TOPK}
+"""
+
+
 def q_array_hof(spark: SparkSession, sf: str) -> DataFrame:
     """Array higher-order functions over embeddings: filter positives,
     square, sum; plus array_max/size."""
@@ -798,5 +922,6 @@ QUERIES: dict[str, tuple] = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_lsh_pairs": (q_ann_lsh_pairs, SQL_ANN_LSH_PAIRS),
+    "ivf_ann_topk": (q_ivf_ann_topk, SQL_IVF_ANN_TOPK),
     "array_hof": (q_array_hof, SQL_ARRAY_HOF),
 }
