@@ -159,6 +159,21 @@ def _split_starts(n: int, parts: int = 8) -> tuple[list[int], np.ndarray]:
     return starts, lens
 
 
+def resize_box(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Box-filter resize to (th, tw, 3) uint8 — block means via two
+    ``np.add.reduceat`` passes (the phash downsampler generalized to any
+    target size and kept per-channel).  No Python loop over pixels."""
+    h, w, _ = arr.shape
+    r_starts, r_lens = _split_starts(h, th)
+    c_starts, c_lens = _split_starts(w, tw)
+    sums = np.add.reduceat(
+        np.add.reduceat(arr.astype(np.float64), r_starts, axis=0),
+        c_starts, axis=1,
+    )
+    out = sums / np.outer(r_lens, c_lens)[..., None]
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 def phash64(arr: np.ndarray) -> int:
     """8×8 average-hash over the gray image, packed row-major MSB-first
     into a signed int64.  Fully vectorized (block sums via

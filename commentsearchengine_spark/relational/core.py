@@ -291,6 +291,60 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit skew-salting for a hot join key (the query-level twin of
+    the engine's hot-host fetch salting, op P0b): ~70% of events collapse
+    onto one synthetic key, so an unsalted shuffle join would put 70% of
+    the rows in one task.  The fact side salts the key with
+    pmod(hash(event_id), SALT); the dim side replicates each row SALT
+    times; the join key becomes (key, salt) and the hot key spreads over
+    SALT tasks.  (AQE's skew handling only splits sort-merge join
+    partitions after the fact; explicit salting is the portable fix and
+    the one usable for window/groupBy skew.)  Results are salt-invariant,
+    so the DuckDB oracle is the plain unsalted join."""
+    salt_n = 8
+    (events,) = load(spark, sf, "events")
+    fact = events.select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(1))
+        .otherwise(F.col("user_id")).alias("skew_key"),
+        "value",
+        F.pmod(F.hash("event_id"), F.lit(salt_n)).alias("salt"),
+    )
+    dim = spark.range(0, 501).select(
+        F.col("id").alias("skew_key"),
+        F.concat(F.lit("grp"), (F.col("id") % 7).cast("string")).alias(
+            "grp"
+        ),
+    )
+    dim_salted = dim.crossJoin(
+        spark.range(0, salt_n).select(F.col("id").cast("int").alias("salt"))
+    )
+    return (
+        # merge hint: at testdata scale the tiny dim would broadcast and
+        # hide the salted shuffle the query exists to demonstrate
+        fact.join(dim_salted.hint("merge"), ["skew_key", "salt"])
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_SALTED_SKEW_JOIN = """
+WITH fact AS (
+  SELECT CASE WHEN user_id % 10 < 7 THEN 1 ELSE user_id END AS skew_key,
+         value
+  FROM events),
+dim AS (
+  SELECT r.range AS skew_key, 'grp' || (r.range % 7)::VARCHAR AS grp
+  FROM range(0, 501) r)
+SELECT grp, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM fact JOIN dim USING (skew_key)
+GROUP BY grp
+"""
+
+
 def q_range_join_value_bins(spark: SparkSession, sf: str) -> DataFrame:
     """Interval (range) join of events against a bins dimension."""
     (events,) = load(spark, sf, "events")
@@ -1075,6 +1129,7 @@ QUERIES: dict[str, tuple] = {
     "asof_purchase_click": (q_asof_purchase_click, SQL_ASOF_PURCHASE_CLICK),
     "range_join_value_bins": (
         q_range_join_value_bins, SQL_RANGE_JOIN_VALUE_BINS),
+    "salted_skew_join": (q_salted_skew_join, SQL_SALTED_SKEW_JOIN),
     "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
     "approx_distinct": (q_approx_distinct, None),
     "rollup_flag_status": (q_rollup_flag_status, SQL_ROLLUP_FLAG_STATUS),

@@ -180,10 +180,58 @@ def q_image_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_image_resize_thumbs(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal RESIZE over opaque image binaries: decode -> box-filter
+    8x8 RGB thumbnail (imagecodec.resize_box, reduceat block means, no
+    per-pixel Python) -> re-encode raw, inside one vectorized
+    mapInPandas pass.  Rows-only (binary codec pipeline)."""
+    from ..functions import imagecodec as ic
+    from ..functions.mmh3 import murmur64
+
+    (emb,) = (spark.read.parquet(f"{sf}/embeddings.parquet"),)
+    ids = emb.select("vec_id")
+    tw = th = 8
+
+    def thumbs(batches):
+        for pdf in batches:
+            out = []
+            for vid in pdf["vec_id"]:
+                uh = murmur64(f"img-{int(vid)}")
+                w, h = ic.dims_for(uh)
+                fmt = ic.fmt_for(uh)
+                dec = ic.decode(
+                    ic.encode(ic.synth_pixels(uh, w, h), fmt), fmt, w, h)
+                thumb = ic.resize_box(dec, tw, th)
+                out.append({
+                    "vec_id": int(vid), "src_w": int(w), "src_h": int(h),
+                    "thumb_bytes": thumb.tobytes(),
+                    "thumb_mean": round(float(thumb.mean()), 4),
+                })
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "vec_id", "src_w", "src_h", "thumb_bytes", "thumb_mean"
+                ],
+            )
+
+    thumbed = ids.repartition(8).mapInPandas(
+        thumbs,
+        schema=(
+            "vec_id long, src_w int, src_h int, thumb_bytes binary,"
+            " thumb_mean double"
+        ),
+    )
+    return thumbed.select(
+        "vec_id", "src_w", "src_h", "thumb_mean",
+        F.length("thumb_bytes").cast("long").alias("n_thumb_bytes"),
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "crawl_log": (q_crawl_log, None),
     "crawl_frontier_depth": (q_crawl_frontier_depth, None),
     "crawl_lineage": (q_crawl_lineage, None),
     "pages_payload_verify": (q_pages_payload_verify, None),
     "image_feature_extract": (q_image_feature_extract, None),
+    "image_resize_thumbs": (q_image_resize_thumbs, None),
 }

@@ -42,3 +42,20 @@ def test_payload_shape():
     assert p["caption"] == f"img {p['image_id']} from site001.example.org wave 3"
     dec = ic.decode(p["bytes"], p["fmt"], p["w"], p["h"])
     assert dec.shape == (p["h"], p["w"], 3)
+
+
+def test_resize_box():
+    import numpy as np
+
+    from commentsearchengine_spark.functions import imagecodec as ic
+
+    # constant image stays constant at any target size
+    const = np.full((33, 17, 3), 200, dtype=np.uint8)
+    thumb = ic.resize_box(const, 8, 8)
+    assert thumb.shape == (8, 8, 3)
+    assert (thumb == 200).all()
+    # block means are exact when blocks divide evenly
+    quad = np.zeros((4, 4, 3), dtype=np.uint8)
+    quad[:2, :2] = 100
+    out = ic.resize_box(quad, 2, 2)
+    assert out[0, 0, 0] == 100 and out[1, 1, 0] == 0
