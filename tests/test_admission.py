@@ -9,6 +9,7 @@ hosts whose head tier only partially covers their budget."""
 import shutil
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 import commentsearchengine_spark.schemas as S
@@ -88,6 +89,67 @@ def test_admit_pruned_matches_admit(spark):
         assert "deep.example.org" in hosts_admitted        # pass-2 only
         assert "mixed.example.org" in hosts_admitted       # split head/tail
         assert "nobudget.example.org" not in hosts_admitted
+        for df in persists:
+            df.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_admit_pruned_matches_admit_randomized(spark, seed):
+    """Randomized frontiers: arbitrary priority mixes, lumpy budgets,
+    files that straddle tiers, random head_factor — pruned admission
+    must stay bit-equal to the whole-frontier rank."""
+    import random
+
+    rng = random.Random(seed)
+    rows, budgets, seq = [], {}, 0
+    for hi in range(25):
+        host = f"h{hi:02d}.example.org"
+        budgets[host] = rng.uniform(0.0, 20.0)
+        n = rng.randint(0, 30)
+        for _ in range(n):
+            seq += 1
+            rows.append((
+                f"https://{host}/p/{seq:06d}/", host, seq * 31,
+                rng.randint(0, 9), 0, rng.randint(0, 3), seq, 0,
+            ))
+    rng.shuffle(rows)
+    frontier = spark.createDataFrame(rows, S.FRONTIER)
+    counts = {h: sum(1 for r in rows if r[1] == h) for h in budgets}
+    hosts = spark.createDataFrame(
+        [(h, t, 20.0, 4.0, 1.0, counts[h]) for h, t in budgets.items()],
+        S.HOSTS,
+    )
+
+    root = tempfile.mkdtemp(prefix="admit-rand-")
+    try:
+        cat = Catalog(root).init()
+        # random file layout, including tier-straddling files
+        cuts = sorted(rng.sample(range(1, 9), 2))
+        splits = [
+            frontier.filter(F.col("priority") < cuts[0]),
+            frontier.filter(
+                (F.col("priority") >= cuts[0])
+                & (F.col("priority") < cuts[1])),
+            frontier.filter(F.col("priority") >= cuts[1]),
+        ]
+        for part in splits:
+            cat.stage_write(part.coalesce(1), "frontier",
+                            mode="stage-append")
+        cat.commit(wave=0)
+
+        def norm(df):
+            return sorted(
+                tuple(r) for r in df.select(*sorted(df.columns)).collect()
+            )
+
+        want = norm(admission.admit(frontier, hosts))
+        persists = []
+        got = norm(admission.admit_pruned(
+            spark, cat, hosts, S.FRONTIER,
+            head_factor=rng.randint(1, 8), persists=persists))
+        assert got == want, seed
         for df in persists:
             df.unpersist()
     finally:
