@@ -46,8 +46,11 @@ class EngineConfig:
     # multiple of the wave's total budget (operators/admission.py)
     admission_head_factor: int = 4
     # row-proportional write partitioning: target rows per parquet file
-    # for the per-wave table writes (plans/wave.py)
-    write_rows_per_file: int = 5_000_000
+    # for the per-wave table writes (plans/wave.py).  Small enough that
+    # a multi-million-row frontier/seen write parallelizes instead of
+    # serializing into one task; large enough to keep file counts sane
+    # at 10^8-row waves (the 1024-part cap bounds the manifest).
+    write_rows_per_file: int = 1_000_000
     # bloom "maybe" sets up to this many rows verify via broadcast
     # collision joins (stream the big tables, zero shuffle); larger sets
     # fall back to plain shuffle anti-joins (plans/wave.py)

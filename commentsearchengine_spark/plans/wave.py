@@ -49,7 +49,6 @@ from ..operators.robots import aggregate_rules, robots_table, with_robots_verdic
 from ..sources.icelite import Catalog
 
 FRONTIER_COLS = [c.split(" ")[0] for c in schemas.FRONTIER.split(", ")]
-PAGES_COLS = [c.split(" ")[0] for c in schemas.PAGES.split(", ")]
 
 
 def _lineage_singlepass(wave: int, n_buckets: int,
@@ -257,19 +256,29 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     seen_updated = seen.unionByName(seen_new)
     hosts_updated = admission.update_tokens(hosts, admitted)
 
-    # ---- P0b + F1/F2/F3: salted fetch -------------------------------------
+    # ---- P0b + F1/F2/F3: salted fetch → pages write (ONE execution) -------
+    # The fetch output is fat (image bytes): caching it for a second
+    # consumer spills gigabytes once execution memory competes (measured
+    # 3-8x wave slowdowns at 0.5-3.5 GB of page cache), and running the
+    # fetch UDF twice doubles the wave's dominant CPU.  Instead the
+    # fetched relation streams STRAIGHT into its pages-table files —
+    # outlink log included — and the expansion re-reads only the slim
+    # outlink columns from the just-written parquet (columnar pruning
+    # never touches the bytes column).
     par = spark.sparkContext.defaultParallelism
     salted = admitted.withColumn(
         "salt", F.pmod(F.hash("canon_url"), F.lit(cfg.salt_factor)))
-    from ..operators.fetch import fetch_pages
+    from ..operators.fetch import FETCHED_SCHEMA, fetch_pages
 
     fetched = fetch_pages(
-        salted.repartition(par * 4, "host", "salt"), wave, cfg.n_hosts).persist()
-    pages_new = fetched.select(*PAGES_COLS)
+        salted.repartition(par * 4, "host", "salt"), wave, cfg.n_hosts)
+    pages_entries = cat.stage_write(fetched, "pages", "append")
+    _mark("fetch_write", tick)
+    fetch_log = cat.scan_entries(spark, pages_entries, FETCHED_SCHEMA)
 
     # ---- expansion: C1 → P2 → D1 → B2/B3 ----------------------------------
     # outlinks arrive pre-canonicalized from the fetch pass (see fetch.py)
-    cand = fetched.select(
+    cand = fetch_log.select(
         F.col("parent_url_hash").alias("parent_hash"),
         F.col("depth").alias("parent_depth"),
         F.col("fetched_seq").alias("parent_seq"),
@@ -454,7 +463,6 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
         ("crawl_log", crawl_log_new.repartition(
             parts_for(n_admitted)), "append"),
         ("lineage", lineage.coalesce(1), "append"),
-        ("pages", pages_new, "append"),
         ("bloom_shards", shards_updated, "overwrite"),
     ]
     from concurrent.futures import ThreadPoolExecutor
@@ -484,8 +492,7 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
                "next_admission_want": int(want_obs.get["next_want"] or 0)},
         metrics=metrics)
 
-    for df in (admitted, fetched, judged, allowed, new_entries,
-               *wave_persists):
+    for df in (admitted, judged, allowed, new_entries, *wave_persists):
         df.unpersist()
     bloom.release_broadcasts()  # probe jobs are done once writes commit
     return metrics

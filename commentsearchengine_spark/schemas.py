@@ -5,6 +5,11 @@ required by BASELINE.json:15; the extension columns after it are
 engine-internal provenance.
 """
 
+# This DDL is the pages READ contract (the binding prefix + provenance).
+# On disk the wave writer stores additional fetch-log columns (depth,
+# parent_url_hash, outlinks — operators/fetch.py::FETCHED_SCHEMA) so the
+# fetch output is written exactly once and the expansion re-reads only
+# the slim columns; readers using this subset schema never see them.
 PAGES = (
     "image_id string, bytes binary, w int, h int, fmt string, "
     "caption string, phash long, "

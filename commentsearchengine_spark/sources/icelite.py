@@ -256,7 +256,10 @@ class Catalog:
         snapshot's files; ``'overwrite'`` replaces them;
         ``'stage-append'`` adds to whatever is already staged for this
         table (use after ``stage_entries`` or a prior stage_write of the
-        same table).  Returns the file count written."""
+        same table).  Returns the NEW manifest entries just written —
+        callers can hand them to ``scan_entries`` to re-read exactly
+        this write's output (column-pruned) without caching the input
+        DataFrame."""
         rel_dir = os.path.join("data", table, uuid.uuid4().hex[:12])
         out_dir = os.path.join(self.root, rel_dir)
         if partitions is not None:
@@ -277,7 +280,7 @@ class Catalog:
             if mode == "stage-append":
                 prev = self._staged.get(table, [])
             self._staged[table] = prev + entries
-        return len(entries)
+        return entries
 
     def commit(self, wave: int, state: dict[str, Any] | None = None,
                metrics: dict[str, Any] | None = None,
