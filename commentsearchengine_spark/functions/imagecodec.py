@@ -161,11 +161,25 @@ def _split_starts(n: int, parts: int = 8) -> tuple[list[int], np.ndarray]:
 
 def resize_box(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
     """Box-filter resize to (th, tw, 3) uint8 — block means via two
-    ``np.add.reduceat`` passes (the phash downsampler generalized to any
-    target size and kept per-channel).  No Python loop over pixels."""
+    ``np.add.reduceat`` passes (the phash downsampler generalized and
+    kept per-channel).  No Python loop over pixels.  Upscaled axes
+    (target > source) replicate source pixels (nearest-neighbor): an
+    empty block would otherwise divide by a zero length and emit
+    undefined uint8 garbage."""
     h, w, _ = arr.shape
-    r_starts, r_lens = _split_starts(h, th)
-    c_starts, c_lens = _split_starts(w, tw)
+
+    def prop_starts(n: int, parts: int):
+        # proportional partition: starts stay < n for any parts (the
+        # phash _split_starts formula can emit start == n when
+        # parts > n, which reduceat rejects); reduceat yields a[start]
+        # for an empty block, which is exactly nearest-neighbor once
+        # its length is clamped to 1
+        starts = (np.arange(parts) * n) // parts
+        lens = np.diff(np.append(starts, n)).astype(np.float64)
+        return starts, np.maximum(lens, 1.0)
+
+    r_starts, r_lens = prop_starts(h, th)
+    c_starts, c_lens = prop_starts(w, tw)
     sums = np.add.reduceat(
         np.add.reduceat(arr.astype(np.float64), r_starts, axis=0),
         c_starts, axis=1,

@@ -27,6 +27,14 @@ import time
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 
+# On-disk layout contract this code reads and writes: 2 = discovered-URL
+# bloom (frontier ∪ seen), hosts.frontier_rows backlog column,
+# priority-tiered frontier files, fetch-log columns in pages.  A catalog
+# written by an older layout (bloom over seen only, no backlog column)
+# would silently violate the fresh-path invariant on resume — refuse it.
+LAYOUT_VERSION = 2
+
+
 # Σ over hosts of next wave's admissible rows — observed as a free
 # side-product of the hosts write (no extra job) and carried in snapshot
 # state so admission's head-cut sizing never needs its own aggregate
@@ -173,6 +181,7 @@ def bootstrap(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> int:
     sid = cat.commit(
         wave=0,
         state={"global_seq": 0, "config_hash": cfg.config_hash(),
+               "layout_version": LAYOUT_VERSION,
                "next_admission_want": int(boot_obs.get["next_want"] or 0)},
         metrics={"seeds": cfg.n_seeds},
     )
@@ -439,12 +448,15 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
         cat.stage_entries("frontier", untouched)
         if touched:
             touched_rows = sum(e.get("rows") or 0 for e in touched)
+            # broadcast the admitted keys only while they fit (same
+            # guard as the maybe backstop): a 10^8-admitted wave would
+            # blow Spark's broadcast limit — fall back to a shuffle anti
+            keys = admitted.select("canon_url")
+            if n_admitted <= cfg.backstop_broadcast_max_rows:
+                keys = F.broadcast(keys)
             rewrite = cat.scan_entries(
                 spark, touched, schemas.FRONTIER
-            ).join(
-                F.broadcast(admitted.select("canon_url")),
-                "canon_url", "left_anti",
-            ).select(*FRONTIER_COLS)
+            ).join(keys, "canon_url", "left_anti").select(*FRONTIER_COLS)
             cat.stage_write(
                 tiered(rewrite, touched_rows), "frontier",
                 mode="stage-append")
@@ -458,8 +470,12 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     want_obs = Observation()
     writes: list[tuple[str, DataFrame, str]] = [
         ("seen", seen_new.repartition(parts_for(n_admitted)), "append"),
+        # partition by the HOSTS table's own cardinality (known from the
+        # parent manifest + at most n_new new hosts), not the wave size —
+        # a throttled wave late in a big crawl still rewrites every host
         ("hosts", hosts_next.observe(want_obs, _want_expr()).repartition(
-            parts_for(max(n_admitted, n_new))), "overwrite"),
+            parts_for(int(snap.row_counts.get("hosts", 0)) + n_new)),
+         "overwrite"),
         ("crawl_log", crawl_log_new.repartition(
             parts_for(n_admitted)), "append"),
         ("lineage", lineage.coalesce(1), "append"),
@@ -489,6 +505,7 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
         wave=wave,
         state={"global_seq": base + n_admitted,
                "config_hash": cfg.config_hash(),
+               "layout_version": LAYOUT_VERSION,
                "next_admission_want": int(want_obs.get["next_want"] or 0)},
         metrics=metrics)
 
@@ -510,6 +527,15 @@ def run_crawl(spark: SparkSession, root: str, cfg: EngineConfig) -> Catalog:
     if snap is None:
         bootstrap(spark, cat, cfg)
         snap = cat.load_snapshot()
+    elif snap.state.get("layout_version") != LAYOUT_VERSION:
+        # a catalog from an older on-disk layout lacks the discovered-URL
+        # bloom coverage and the hosts backlog column this code relies on
+        # — resuming it would silently corrupt frontier dedup
+        raise ValueError(
+            f"catalog at {root} has layout_version="
+            f"{snap.state.get('layout_version')!r}, this engine requires "
+            f"{LAYOUT_VERSION}; re-crawl into a fresh root"
+        )
     elif snap.state.get("config_hash") != cfg.config_hash():
         # resuming with different semantics-affecting knobs would silently
         # mix two crawl definitions and break oracle parity — the exact

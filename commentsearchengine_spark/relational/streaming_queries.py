@@ -86,12 +86,18 @@ def q_streaming_watermark_counts(spark: SparkSession, sf: str) -> DataFrame:
         def run(df, out, ck, _i):
             demo.run_to_parquet(df, out, ck)
 
-        _work, out, _ = _drain_chunks(
+        work, out, _ = _drain_chunks(
             spark, sf, demo.windowed_counts_with_watermark, run, "wm"
         )
-        _cache[key] = out
+        # cache the materialized result and drop the work dir (source
+        # replay + sink + checkpoint) — tmpfs-backed /tmp otherwise
+        # accumulates a full events copy per process
+        _cache[key] = spark.read.parquet(out).toPandas()
+        shutil.rmtree(work, ignore_errors=True)
     return (
-        spark.read.parquet(_cache[key])
+        spark.createDataFrame(
+            _cache[key], "window_start string, event_type string, n long"
+        )
         .groupBy("window_start", "event_type")
         .agg(F.sum("n").alias("n"))
         .orderBy("window_start", "event_type")
@@ -114,7 +120,9 @@ def q_streaming_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
 
             demo.run_foreach_batch(df, sink, ck, output_mode="update")
 
-        _drain_chunks(spark, sf, demo.stateful_token_bucket, run, "bk")
+        work, _out, _ = _drain_chunks(
+            spark, sf, demo.stateful_token_bucket, run, "bk")
+        shutil.rmtree(work, ignore_errors=True)
         _cache[key] = pd.concat(frames, ignore_index=True)
     return spark.createDataFrame(
         _cache[key],
@@ -138,7 +146,7 @@ def q_streaming_icelite_sink(spark: SparkSession, sf: str) -> DataFrame:
         work, _out, _ = _drain_chunks(
             spark, sf, lambda stream: stream, run, "ice"
         )
-        shutil.rmtree(f"{work}/ck", ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
         _cache[key] = pd.DataFrame(commits)
     return spark.createDataFrame(
         _cache[key], "snapshot_id long, epoch long, rows long"

@@ -250,7 +250,7 @@ class Catalog:
             self._staged[table] = list(entries)
 
     def stage_write(self, df: DataFrame, table: str, mode: str = "overwrite",
-                    partitions: int | None = None) -> int:
+                    partitions: int | None = None) -> list[dict]:
         """Write ``df`` as new Parquet files for ``table`` into the staging
         area of the NEXT snapshot.  ``mode='append'`` keeps the current
         snapshot's files; ``'overwrite'`` replaces them;

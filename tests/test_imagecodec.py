@@ -59,3 +59,24 @@ def test_resize_box():
     quad[:2, :2] = 100
     out = ic.resize_box(quad, 2, 2)
     assert out[0, 0, 0] == 100 and out[1, 1, 0] == 0
+
+
+def test_resize_box_upscale():
+    import numpy as np
+
+    from commentsearchengine_spark.functions import imagecodec as ic
+
+    src = np.zeros((2, 2, 3), dtype=np.uint8)
+    src[0, 0] = 10
+    src[0, 1] = 20
+    src[1, 0] = 30
+    src[1, 1] = 40
+    up = ic.resize_box(src, 4, 4)
+    assert up.shape == (4, 4, 3)
+    # nearest-neighbor replication, no NaN/garbage
+    assert up[0, 0, 0] == 10 and up[1, 1, 0] == 10
+    assert up[3, 3, 0] == 40 and up[2, 2, 0] == 40
+    # mixed up/down: 2x5 -> 4x2
+    mixed = ic.resize_box(np.full((2, 5, 3), 7, dtype=np.uint8), 2, 4)
+    assert mixed.shape == (4, 2, 3)
+    assert (mixed == 7).all()

@@ -99,6 +99,9 @@ def run(sf_dir: str, name_filter: str = "") -> int:
             ok, msg = False, f"EXCEPTION: {type(ex).__name__}: {str(ex)[:300]}"
         print(f"{'PASS' if ok else 'FAIL'}  {name}: {msg}", flush=True)
         failures += 0 if ok else 1
+        # several queries persist intermediates that are only meaningful
+        # within their own job; don't let caches pile up across the suite
+        spark.catalog.clearCache()
     # entry() smoke
     try:
         n = e.entry(spark).count()
