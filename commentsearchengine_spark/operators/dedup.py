@@ -12,7 +12,7 @@ B3 is the exactness guarantee behind the bloom pre-filter: a plain
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -20,11 +20,22 @@ from ..fixtures import synth
 
 
 def dedup_within_wave(cands: DataFrame) -> DataFrame:
-    w = Window.partitionBy("canon_url").orderBy("priority", "disc_seq")
+    """Keep the min-(priority, disc_seq) candidate per canonical URL.
+
+    A hash aggregate with ``min_by``, NOT a window rank: the partial
+    (map-side) aggregation collapses duplicate discoveries inside each
+    task before anything shuffles, and no sort is needed.  (priority,
+    disc_seq) is unique per candidate occurrence — disc_seq encodes
+    parent global_seq and link index — so min_by is deterministic."""
+    others = [c for c in cands.columns if c != "canon_url"]
     return (
-        cands.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        cands.groupBy("canon_url")
+        .agg(
+            F.min_by(
+                F.struct(*others), F.struct("priority", "disc_seq")
+            ).alias("_m")
+        )
+        .select("canon_url", *[F.col(f"_m.{c}").alias(c) for c in others])
     )
 
 
