@@ -153,6 +153,67 @@ def q_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return back.orderBy("r_regionkey").select("r_regionkey", "r_name")
 
 
+def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC sink+source round-trip over `nation` — the third columnar
+    format Spark ships natively (after parquet).  The values survive the
+    format exactly, so the DuckDB oracle (reading the original parquet)
+    checks them."""
+    (nation,) = load(spark, sf, "nation")
+    path = _roundtrip_dir(sf, "orc")
+    nation.coalesce(1).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+    )
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def q_unpivot_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """unpivot/melt (Spark 4 `DataFrame.unpivot`): wide per-year revenue
+    columns back to (year, revenue) rows — the inverse of the pivot
+    surface, checked against a DuckDB UNPIVOT."""
+    (orders,) = load(spark, sf, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        *[
+            F.round(
+                F.sum(
+                    F.when(F.year("o_orderdate") == y, F.col("o_totalprice"))
+                    .otherwise(0.0)
+                ),
+                2,
+            ).alias(f"rev_{y}")
+            for y in (1994, 1995, 1996)
+        ]
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["rev_1994", "rev_1995", "rev_1996"],
+        "year_col",
+        "revenue",
+    )
+
+
+SQL_UNPIVOT_REVENUE = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         round(sum(CASE WHEN year(o_orderdate) = 1994
+                        THEN o_totalprice ELSE 0 END), 2) AS rev_1994,
+         round(sum(CASE WHEN year(o_orderdate) = 1995
+                        THEN o_totalprice ELSE 0 END), 2) AS rev_1995,
+         round(sum(CASE WHEN year(o_orderdate) = 1996
+                        THEN o_totalprice ELSE 0 END), 2) AS rev_1996
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, year_col, revenue
+FROM wide UNPIVOT (revenue FOR year_col IN (rev_1994, rev_1995, rev_1996))
+"""
+
+
 def q_bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
     """Bucketed co-located join (SURVEY §4 'bucketing / pre-partitioning'
     scale lever): both sides written bucketed+sorted on the join key, so
@@ -256,4 +317,6 @@ QUERIES: dict[str, tuple] = {
         q_grouped_map_normalize, SQL_GROUPED_MAP_NORMALIZE),
     "csv_roundtrip": (q_csv_roundtrip, None),
     "json_roundtrip": (q_json_roundtrip, None),
+    "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+    "unpivot_revenue": (q_unpivot_revenue, SQL_UNPIVOT_REVENUE),
 }
