@@ -110,8 +110,15 @@ def admit_pruned(spark, cat, hosts: DataFrame, schema_ddl: str,
         # or the frontier is shallow): the coverage-check machinery
         # would only add jobs — rank the whole table once instead
         cut = None
+    # every admitted row remembers its source data file so the caller's
+    # carry-forward commit can rewrite EXACTLY the files that lost rows
+    # (file-precise, not a conservative priority bound)
+    def tagged_scan(**kw):
+        return cat.scan(spark, "frontier", schema_ddl=schema_ddl, **kw) \
+            .withColumn("_src_file", F.input_file_name())
+
     if cut is None:
-        frontier = cat.scan(spark, "frontier", schema_ddl=schema_ddl)
+        frontier = tagged_scan()
         return (
             frontier.join(F.broadcast(budgets), "host")
             .withColumn("rank_in_host", F.row_number().over(w))
@@ -119,8 +126,7 @@ def admit_pruned(spark, cat, hosts: DataFrame, schema_ddl: str,
             .drop("budget", "need")
         )
 
-    head = cat.scan(
-        spark, "frontier", schema_ddl=schema_ddl,
+    head = tagged_scan(
         where=[("priority", "<=", cut)],
     ).filter(F.col("priority") <= cut)
     # coverage check FIRST, via a partial-aggregated count (map-side
@@ -152,9 +158,8 @@ def admit_pruned(spark, cat, hosts: DataFrame, schema_ddl: str,
         return rank_and_admit(head)
     pass1 = rank_and_admit(
         head.join(F.broadcast(short), "host", "left_anti"))
-    full = cat.scan(spark, "frontier", schema_ddl=schema_ddl)
     pass2 = rank_and_admit(
-        full.join(F.broadcast(short), "host", "left_semi"))
+        tagged_scan().join(F.broadcast(short), "host", "left_semi"))
     return pass1.unionByName(pass2)
 
 

@@ -250,11 +250,13 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
         want=snap.state.get("next_admission_want")).persist()
     wave_persists.append(ranked_admitted)
     admitted = admission.assign_global_seq(ranked_admitted, base).persist()
-    # one driver action for BOTH per-wave scalars (row count + deepest
-    # admitted priority for the carry-forward split) — every extra
-    # action is a cluster-wide barrier
-    n_admitted, p_hi = admitted.agg(
-        F.count("*"), F.max("priority")).collect()[0]
+    # ONE driver action for every per-wave scalar: row count + the exact
+    # set of frontier data files that lost a row (bounded by the head
+    # file count; admission tags each row with input_file_name) — every
+    # extra action is a cluster-wide barrier
+    n_admitted, touched_files = admitted.agg(
+        F.count("*"), F.collect_set("_src_file")).collect()[0]
+    touched_files = set(touched_files or [])
     _mark("admit", tick)
 
     crawl_log_new = admitted.select(
@@ -275,7 +277,7 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     # outlink columns from the just-written parquet (columnar pruning
     # never touches the bytes column).
     par = spark.sparkContext.defaultParallelism
-    salted = admitted.withColumn(
+    salted = admitted.drop("_src_file").withColumn(
         "salt", F.pmod(F.hash("canon_url"), F.lit(cfg.salt_factor)))
     from ..operators.fetch import FETCHED_SCHEMA, fetch_pages
 
@@ -413,36 +415,35 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     )
 
     # ---- frontier: carry-forward commit -----------------------------------
-    # Files whose min priority exceeds the deepest admitted row provably
-    # contain no admitted row -> their manifest entries carry forward
-    # byte-untouched.  Only the head files rewrite (minus admitted, via a
-    # BROADCAST anti-join: the big side streams, nothing shuffles), and
-    # the wave's discoveries append as fresh priority-clustered files.
+    # File-precise: a data file rewrites ONLY if an admitted row actually
+    # came out of it (admission tagged rows with input_file_name); every
+    # other file's manifest entry carries forward byte-untouched.  The
+    # rewrite drops admitted rows via a BROADCAST anti-join (the big side
+    # streams, nothing shuffles), and the wave's discoveries append as
+    # fresh per-priority-tier files.
     entries = cat.table_files("frontier")
+    untouched = [
+        e for e in entries
+        if not any(f.endswith(e["path"]) for f in touched_files)
+    ]
+    touched = [
+        e for e in entries
+        if any(f.endswith(e["path"]) for f in touched_files)
+    ]
 
-    def _min_priority(e: dict):
-        rng = (e.get("stats") or {}).get("priority")
-        return None if rng is None else rng[0]
-
-    if p_hi is None:  # nothing admitted: every file carries forward
-        untouched, touched = entries, []
-    else:
-        untouched = [
-            e for e in entries
-            if _min_priority(e) is not None and _min_priority(e) > p_hi
-        ]
-        touched = [
-            e for e in entries
-            if _min_priority(e) is None or _min_priority(e) <= p_hi
-        ]
-
-    def tiered(df: DataFrame, n_rows: int) -> DataFrame:
-        """Priority-clustered files for tight manifest stats; a single
-        output file needs no range sampling pass."""
-        parts = parts_for(n_rows)
-        if parts <= 1:
-            return df.repartition(1)
-        return df.repartitionByRange(parts, "priority", "disc_seq")
+    def write_tiered(df: DataFrame, n_rows: int) -> None:
+        """One directory PER PRIORITY VALUE (partitionBy on a duplicated
+        tier column — value-exact, no range sampling): every file's
+        [min,max] priority collapses to a point, so manifest pruning and
+        the carry-forward split stay sharp even when a wave writes only
+        a handful of rows per tier."""
+        # round-robin repartition (NOT keyed on priority — that would
+        # funnel each tier through a single task); every task then fans
+        # its rows into the per-tier directories
+        cat.stage_write(
+            df.withColumn("_tier", F.col("priority"))
+            .repartition(parts_for(n_rows)),
+            "frontier", mode="stage-append", partition_cols=["_tier"])
 
     def write_frontier() -> None:
         cat.stage_entries("frontier", untouched)
@@ -457,12 +458,9 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
             rewrite = cat.scan_entries(
                 spark, touched, schemas.FRONTIER
             ).join(keys, "canon_url", "left_anti").select(*FRONTIER_COLS)
-            cat.stage_write(
-                tiered(rewrite, touched_rows), "frontier",
-                mode="stage-append")
+            write_tiered(rewrite, touched_rows)
         if n_new > 0:
-            cat.stage_write(
-                tiered(new_entries, n_new), "frontier", mode="stage-append")
+            write_tiered(new_entries, n_new)
 
     # ---- S3/K1: writes + atomic snapshot commit ---------------------------
     # independent jobs over persisted inputs, run from concurrent driver

@@ -250,7 +250,8 @@ class Catalog:
             self._staged[table] = list(entries)
 
     def stage_write(self, df: DataFrame, table: str, mode: str = "overwrite",
-                    partitions: int | None = None) -> list[dict]:
+                    partitions: int | None = None,
+                    partition_cols: list[str] | None = None) -> list[dict]:
         """Write ``df`` as new Parquet files for ``table`` into the staging
         area of the NEXT snapshot.  ``mode='append'`` keeps the current
         snapshot's files; ``'overwrite'`` replaces them;
@@ -264,13 +265,23 @@ class Catalog:
         out_dir = os.path.join(self.root, rel_dir)
         if partitions is not None:
             df = df.repartition(partitions)
-        df.write.mode("error").parquet(out_dir)
+        writer = df.write.mode("error")
+        if partition_cols:
+            # value-exact file clustering (e.g. one frontier tier per
+            # directory): callers duplicate the clustering key into a
+            # throwaway column, since partitionBy lifts its columns out
+            # of the data files into directory names
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(out_dir)
         entries = []
-        for name in sorted(os.listdir(out_dir)):
-            if name.endswith(".parquet"):
-                rel = os.path.join(rel_dir, name)
-                rows, stats = _file_stats(os.path.join(self.root, rel))
-                entries.append({"path": rel, "rows": rows, "stats": stats})
+        for cur, _dirs, names in sorted(os.walk(out_dir)):
+            for name in sorted(names):
+                if name.endswith(".parquet"):
+                    full = os.path.join(cur, name)
+                    rel = os.path.relpath(full, self.root)
+                    rows, stats = _file_stats(full)
+                    entries.append(
+                        {"path": rel, "rows": rows, "stats": stats})
         prev: list[Any] = []
         if mode == "append":
             snap = self.load_snapshot()

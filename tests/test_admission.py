@@ -70,6 +70,10 @@ def test_admit_pruned_matches_admit(spark):
         cat.commit(wave=0)
 
         def norm(df):
+            # _src_file is admit_pruned's internal provenance column for
+            # the wave's file-precise carry-forward — not part of the
+            # admission result contract
+            df = df.drop("_src_file")
             return sorted(
                 tuple(r) for r in df.select(*sorted(df.columns)).collect()
             )
@@ -140,6 +144,10 @@ def test_admit_pruned_matches_admit_randomized(spark, seed):
         cat.commit(wave=0)
 
         def norm(df):
+            # _src_file is admit_pruned's internal provenance column for
+            # the wave's file-precise carry-forward — not part of the
+            # admission result contract
+            df = df.drop("_src_file")
             return sorted(
                 tuple(r) for r in df.select(*sorted(df.columns)).collect()
             )
