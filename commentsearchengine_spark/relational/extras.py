@@ -214,6 +214,42 @@ FROM wide UNPIVOT (revenue FOR year_col IN (rev_1994, rev_1995, rev_1996))
 """
 
 
+def q_grouped_arrow_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map ``applyInArrow`` (Spark 4.x): per-group stats computed
+    with pyarrow.compute on the raw Arrow batch — no pandas conversion
+    at all, the leanest Python-side path Spark offers.  Exact oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: pa.Table) -> pa.Table:
+        v = table.column("value")
+        return pa.table({
+            "event_type": [table.column("event_type")[0].as_py()],
+            "n": [table.num_rows],
+            "min_value": [round(pc.min(v).as_py(), 2)],
+            "max_value": [round(pc.max(v).as_py(), 2)],
+            "sum_value": [round(pc.sum(v).as_py(), 2)],
+        })
+
+    (events,) = load(spark, sf, "events")
+    return events.groupBy("event_type").applyInArrow(
+        stats,
+        schema=(
+            "event_type string, n long, min_value double,"
+            " max_value double, sum_value double"
+        ),
+    )
+
+
+SQL_GROUPED_ARROW_STATS = """
+SELECT event_type, count(*) AS n,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
     """Bucketed co-located join (SURVEY §4 'bucketing / pre-partitioning'
     scale lever): both sides written bucketed+sorted on the join key, so
@@ -319,4 +355,5 @@ QUERIES: dict[str, tuple] = {
     "json_roundtrip": (q_json_roundtrip, None),
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "unpivot_revenue": (q_unpivot_revenue, SQL_UNPIVOT_REVENUE),
+    "grouped_arrow_stats": (q_grouped_arrow_stats, SQL_GROUPED_ARROW_STATS),
 }
