@@ -250,6 +250,52 @@ FROM events GROUP BY event_type
 """
 
 
+def q_map_in_arrow_doclen(spark: SparkSession, sf: str) -> DataFrame:
+    """``mapInArrow`` (stateless Arrow-batch map): per-document char and
+    token counts computed with pyarrow.compute, no pandas and no JVM
+    round-trip per row.  Exact oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def doclen(batches):
+        for batch in batches:
+            text = batch.column("text")
+            # trim separator runs at the edges so the split emits no
+            # empty edge tokens; an all-separator doc then has 0 tokens
+            trimmed = pc.replace_substring_regex(
+                pc.utf8_lower(text), "^[^a-z0-9]+|[^a-z0-9]+$", ""
+            )
+            n_toks = pc.if_else(
+                pc.equal(trimmed, ""),
+                pa.scalar(0, pa.int32()),
+                pc.list_value_length(
+                    pc.split_pattern_regex(trimmed, "[^a-z0-9]+")
+                ),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(n_toks, pa.int64()),
+                ],
+                ["doc_id", "n_chars", "n_tokens"],
+            )
+
+    (docs,) = load(spark, sf, "documents")
+    return docs.select("doc_id", "text").mapInArrow(
+        doclen, schema="doc_id long, n_chars long, n_tokens long"
+    )
+
+
+SQL_MAP_IN_ARROW_DOCLEN = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
 def q_bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
     """Bucketed co-located join (SURVEY §4 'bucketing / pre-partitioning'
     scale lever): both sides written bucketed+sorted on the join key, so
@@ -356,4 +402,5 @@ QUERIES: dict[str, tuple] = {
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "unpivot_revenue": (q_unpivot_revenue, SQL_UNPIVOT_REVENUE),
     "grouped_arrow_stats": (q_grouped_arrow_stats, SQL_GROUPED_ARROW_STATS),
+    "map_in_arrow_doclen": (q_map_in_arrow_doclen, SQL_MAP_IN_ARROW_DOCLEN),
 }
