@@ -163,14 +163,46 @@ def admit_pruned(spark, cat, hosts: DataFrame, schema_ddl: str,
     return pass1.unionByName(pass2)
 
 
-def assign_global_seq(admitted: DataFrame, base: int) -> DataFrame:
-    """global_seq = base + prefix_sum(admitted counts by host ASC) + rank."""
+RANGE_PREFIX_LEN = 6
+
+
+def assign_global_seq(admitted: DataFrame, base: int,
+                      prefix_len: int = RANGE_PREFIX_LEN) -> DataFrame:
+    """global_seq = base + prefix_sum(admitted counts by host ASC) + rank.
+
+    Two-level distributed prefix sum (no unpartitioned window over the
+    per-host counts relation): hosts are grouped into contiguous ranges
+    by ``substring(host, 1, prefix_len)`` — a pure, deterministic,
+    ORDER-PRESERVING function (pfx(a) < pfx(b) ⇒ a < b, equal prefixes
+    fall through to the full-string orderBy), so unlike
+    ``repartitionByRange`` there is no sampling job and no cross-branch
+    consistency risk.  Level 1 runs the per-range prefix windows in
+    parallel (partitionBy range); level 2 is a cumulative window over
+    ONE ROW PER DISTINCT PREFIX — bounded by host-name diversity, not
+    host count (10^7 admitted hosts with realistic names collapse to
+    ~10^3–10^5 prefix rows of 16 bytes).  Degenerate case (every host
+    shares one prefix) degrades to the old single-task behaviour, never
+    to wrong answers.  offset(host) = range_base + within_range_prefix.
+    """
     counts = admitted.groupBy("host").agg(
         F.count("*").alias("cnt"))
-    w = Window.orderBy("host").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "offset", F.coalesce(F.sum("cnt").over(w), F.lit(0))).select(
-        "host", "offset")
+    ranged = counts.withColumn(
+        "rng", F.substring("host", 1, prefix_len))
+    w_in = Window.partitionBy("rng").orderBy("host").rowsBetween(
+        Window.unboundedPreceding, -1)
+    within = ranged.withColumn(
+        "within", F.coalesce(F.sum("cnt").over(w_in), F.lit(0)))
+    subtot = ranged.groupBy("rng").agg(F.sum("cnt").alias("sub"))
+    w_rng = Window.orderBy("rng").rowsBetween(
+        Window.unboundedPreceding, -1)
+    bases = subtot.withColumn(
+        "rbase", F.coalesce(F.sum("sub").over(w_rng), F.lit(0)))
+    offsets = (
+        within.join(F.broadcast(bases.select("rng", "rbase")), "rng")
+        .select(
+            "host",
+            (F.col("rbase") + F.col("within")).alias("offset"))
+    )
     return (
         admitted.join(F.broadcast(offsets), "host")
         .withColumn(

@@ -54,6 +54,7 @@ from ..operators import admission, bloom
 from ..operators.canonicalize import with_canonical
 from ..operators.dedup import dedup_within_wave, make_host_budget_udf
 from ..operators.robots import aggregate_rules, robots_table, with_robots_verdict
+from ..sources import icelite
 from ..sources.icelite import Catalog
 
 FRONTIER_COLS = [c.split(" ")[0] for c in schemas.FRONTIER.split(", ")]
@@ -422,14 +423,18 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     # streams, nothing shuffles), and the wave's discoveries append as
     # fresh per-priority-tier files.
     entries = cat.table_files("frontier")
-    untouched = [
-        e for e in entries
-        if not any(f.endswith(e["path"]) for f in touched_files)
-    ]
-    touched = [
-        e for e in entries
-        if any(f.endswith(e["path"]) for f in touched_files)
-    ]
+    # O(entries) set split on decoded root-relative paths (NOT a nested
+    # endswith scan over URL-encoded URIs: 10^6 manifest files x 10^3
+    # touched would be 10^9 driver-side comparisons, and percent-encoded
+    # roots would silently match nothing — see icelite.uri_to_rel)
+    touched_rel = {icelite.uri_to_rel(f, cat.root) for f in touched_files}
+    untouched = [e for e in entries if e["path"] not in touched_rel]
+    touched = [e for e in entries if e["path"] in touched_rel]
+    unmatched = touched_rel - {e["path"] for e in touched}
+    if unmatched:
+        raise RuntimeError(
+            "admission touched files missing from the frontier manifest "
+            f"(path normalization bug or concurrent commit): {sorted(unmatched)[:5]}")
 
     def write_tiered(df: DataFrame, n_rows: int) -> None:
         """One directory PER PRIORITY VALUE (partitionBy on a duplicated

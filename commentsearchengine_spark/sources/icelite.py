@@ -69,6 +69,25 @@ def _entry_path(entry: Any) -> str:
     return entry["path"] if isinstance(entry, dict) else entry
 
 
+def uri_to_rel(uri: str, root: str) -> str:
+    """Normalize a Spark ``input_file_name()`` value to a catalog-root-
+    relative path (the manifest-entry format).
+
+    input_file_name returns a URL-ENCODED ``file:`` URI, so a catalog
+    root containing a space or non-ASCII character encodes differently
+    from the raw manifest path — naive suffix matching then fails
+    silently and misclassifies every touched file as untouched (rows
+    re-admitted next wave).  Decode the URI first, then relativize.
+    """
+    from urllib.parse import unquote, urlparse
+
+    if "://" in uri or uri.startswith("file:"):
+        path = unquote(urlparse(uri).path)
+    else:
+        path = uri
+    return os.path.relpath(path, os.path.abspath(root))
+
+
 def _file_stats(full_path: str) -> tuple[int, dict[str, list]]:
     """Row count + per-column [min, max] from the parquet footer.
     Only JSON-friendly primitive columns are kept."""

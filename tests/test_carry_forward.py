@@ -64,3 +64,25 @@ def test_deep_files_carry_forward_and_parity_holds(spark):
         assert eng_log == sorted(o.crawl_log)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_carry_forward_with_percent_encoded_root(spark):
+    """Catalog root containing a space: input_file_name() URL-encodes it
+    (%20), so suffix/equality matching on raw URIs would classify every
+    touched frontier file as untouched and silently re-admit its rows
+    next wave.  The decoded set-based split must keep oracle parity."""
+    cfg = EngineConfig(n_seeds=12, n_waves=3, n_buckets=16)
+    base = tempfile.mkdtemp(prefix="carry fwd enc-")  # space in path
+    try:
+        cat = run_crawl(spark, base, cfg)
+        o = run_oracle(cfg.n_seeds, cfg.n_waves, cfg.n_buckets, cfg.n_hosts)
+        eng_log = sorted(
+            tuple(r) for r in cat.scan(
+                spark, "crawl_log", schema_ddl=S.CRAWL_LOG).collect())
+        assert eng_log == sorted(o.crawl_log)
+        eng_seen = sorted(
+            r["canon_url"] for r in cat.scan(
+                spark, "seen", schema_ddl=S.SEEN).collect())
+        assert eng_seen == sorted(o.seen)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
