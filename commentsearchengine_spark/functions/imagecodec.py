@@ -194,9 +194,13 @@ def phash64(arr: np.ndarray) -> int:
     ``np.add.reduceat``) — this runs per row inside the engine's Arrow
     batches, so it must not loop in Python.  Identical code in oracle
     and engine keeps phash bit-equal between them."""
-    # channel SUM, not mean: every downstream quantity scales by the
-    # same x3, so the > comparisons (hence the bits) are unchanged while
-    # one full-image temporary + mean pass disappears from the hot loop
+    # channel SUM, not mean: downstream quantities scale by the same x3,
+    # and one full-image temporary + mean pass disappears from the hot
+    # loop.  NOTE the old per-pixel /3 carried float rounding, so bits
+    # at exact-float block-vs-global ties can differ from builds before
+    # layout_version 2 — engine and oracle share this code and stay in
+    # lockstep, but catalogs recorded by older builds won't reproduce
+    # (covered by the layout_version resume guard / fresh-catalog rule)
     gray = arr.sum(axis=2, dtype=np.float64)
     h, w = gray.shape
     r_starts, r_lens = _split_starts(h)

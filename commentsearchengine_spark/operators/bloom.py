@@ -37,19 +37,19 @@ def shard_col(url_hash_col, n_shards: int):
     return F.pmod(url_hash_col, F.lit(n_shards)).cast("int")
 
 
-# broadcasts created by probe()'s broadcast path, alive until the caller
-# finishes the jobs that reference them.  A long multi-wave crawl would
-# otherwise accumulate one driver+executor bitmap block per wave while
-# waiting on GC/ContextCleaner; the wave loop calls release_broadcasts()
-# after its writes commit.
-_live_broadcasts: list = []
-
-
-def release_broadcasts() -> None:
+def release_broadcasts(broadcasts: list) -> None:
     """Destroy probe broadcasts whose jobs have completed (call only
-    after every action that consumed the probed DataFrame)."""
-    while _live_broadcasts:
-        bc = _live_broadcasts.pop()
+    after every action that consumed the probed DataFrame).
+
+    Scoped PER CALLER: probe() appends to the caller-supplied list and
+    the wave loop releases its own list in a try/finally — a concurrent
+    Catalog/probe user in the same SparkSession can never have a live
+    broadcast destroyed from under it, and an exception mid-wave cannot
+    leak bitmap blocks until process exit.  A long multi-wave crawl
+    would otherwise accumulate one driver+executor bitmap block per
+    wave while waiting on GC/ContextCleaner."""
+    while broadcasts:
+        bc = broadcasts.pop()
         try:
             bc.destroy()
         except Exception:
@@ -107,7 +107,7 @@ def _check_bits(bits: np.ndarray, url_hashes: np.ndarray, nbits: int,
 
 
 def probe(candidates: DataFrame, shards: DataFrame,
-          cfg: EngineConfig) -> DataFrame:
+          cfg: EngineConfig, broadcasts: list | None = None) -> DataFrame:
     """Op B2 — adds boolean ``maybe_seen``.  False ⇒ definitely new
     (bloom has no false negatives); True ⇒ must be checked exactly (B3).
 
@@ -121,6 +121,10 @@ def probe(candidates: DataFrame, shards: DataFrame,
       tens of GB): candidates shuffle to their shard's task so each task
       holds exactly one bitmap slice; parallelism = n_shards, which at
       that scale is sized in the thousands.
+
+    The broadcast path appends its Broadcast handle to ``broadcasts``
+    (if given) for the caller to release_broadcasts() once its jobs
+    finish; with no list the handle is left to ContextCleaner GC.
     """
     nbits, k, n_shards = cfg.bloom_nbits, cfg.bloom_k, cfg.bloom_shards
     total_bytes = n_shards * (nbits // 8)
@@ -133,7 +137,8 @@ def probe(candidates: DataFrame, shards: DataFrame,
             for r in shards.collect()
         }
         bc = candidates.sparkSession.sparkContext.broadcast(bitmaps)
-        _live_broadcasts.append(bc)
+        if broadcasts is not None:
+            broadcasts.append(bc)
 
         def probe_map(pdfs):
             for pdf in pdfs:

@@ -213,6 +213,21 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
       live frontier;
     - write parallelism is row-proportional (cfg.write_rows_per_file),
       never a fixed coalesce(1) barrier."""
+    wave_persists: list[DataFrame] = []
+    wave_broadcasts: list = []
+    try:
+        return _run_wave(spark, cat, cfg, wave_persists, wave_broadcasts)
+    finally:
+        # always runs — an exception mid-wave must not leak this wave's
+        # cached relations or bloom broadcast bitmap blocks (scoped per
+        # wave; see bloom.release_broadcasts)
+        for df in wave_persists:
+            df.unpersist()
+        bloom.release_broadcasts(wave_broadcasts)
+
+
+def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
+              wave_persists: list, wave_broadcasts: list) -> dict:
     t0 = time.monotonic()
     snap = cat.load_snapshot()
     assert snap is not None, "bootstrap first"
@@ -239,7 +254,6 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     tick = [time.monotonic()]
 
     # ---- Q1/O1: pruned admission + crawl order ----------------------------
-    wave_persists: list[DataFrame] = []
     # persist the ranked-admitted set (small: <= Σ budgets) BEFORE the
     # global-seq assembly — its prefix-sum offsets are a broadcast
     # subquery over the same rows, which would otherwise re-run the
@@ -251,6 +265,7 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
         want=snap.state.get("next_admission_want")).persist()
     wave_persists.append(ranked_admitted)
     admitted = admission.assign_global_seq(ranked_admitted, base).persist()
+    wave_persists.append(admitted)
     # ONE driver action for every per-wave scalar: row count + the exact
     # set of frontier data files that lost a row (bounded by the head
     # file count; admission tags each row with input_file_name) — every
@@ -302,6 +317,7 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
         F.col("ol.host").alias("host"), F.col("ol.path").alias("path"),
     )
     judged = with_robots_verdict(cand, rules_agg).persist()
+    wave_persists.append(judged)
     blocked = judged.filter(~F.col("robots_allowed"))
     allowed = judged.filter(F.col("robots_allowed")).select(
         "canon_url", "host",
@@ -313,6 +329,7 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
          + F.col("j")).alias("disc_seq"),
         F.col("parent_hash"),
     ).persist()
+    wave_persists.append(allowed)
 
     uniq = dedup_within_wave(allowed)
     # the snapshot's bloom covers every URL ever discovered (frontier ∪
@@ -321,7 +338,8 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     # persist the probed set: BOTH branches below (fresh + maybe) and
     # the backstop broadcasts read it, and without the cache the D1
     # window + probe UDF would re-run once per consumer.
-    probed = bloom.probe(uniq, shards, cfg).persist()
+    probed = bloom.probe(uniq, shards, cfg,
+                         broadcasts=wave_broadcasts).persist()
     wave_persists.append(probed)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
@@ -353,6 +371,7 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
             frontier_full.select("canon_url"), "canon_url", "left_anti")
     new_entries = fresh.unionByName(surviving_maybe).select(
         *FRONTIER_COLS).persist()
+    wave_persists.append(new_entries)
     n_new = new_entries.count()
     _mark("expand", tick)
 
@@ -512,9 +531,6 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
                "next_admission_want": int(want_obs.get["next_want"] or 0)},
         metrics=metrics)
 
-    for df in (admitted, judged, allowed, new_entries, *wave_persists):
-        df.unpersist()
-    bloom.release_broadcasts()  # probe jobs are done once writes commit
     return metrics
 
 

@@ -153,11 +153,14 @@ def q_lsh_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     the corpus; shipping them through a shuffle-heavy self-join would be
     the bottleneck).  Word sets are re-attached to the deduped candidate
     pairs by two narrow joins for exact verification.  The banded and
-    words relations are materialized once (persist) so the md5 HOF
-    chains are not re-evaluated per join side."""
+    words relations are materialized once so the md5 HOF chains are
+    not re-evaluated per join side — via lazy localCheckpoint, whose
+    cached RDD the ContextCleaner releases once the result DataFrame is
+    dropped (persist() leaked across queries unless every caller ran
+    spark.catalog.clearCache())."""
     (docs,) = load(spark, sf, "documents")
     rows_per_band = N_MINHASH // N_BANDS
-    shingled = _shingled(docs).persist()
+    shingled = _shingled(docs).localCheckpoint(eager=False)
     words = shingled.select("doc_id", F.col("sh").alias("words"))
     banded = (
         shingled.select("doc_id", F.expr(_SIGS).alias("sigs"))
@@ -172,7 +175,7 @@ def q_lsh_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
                 )
             ).alias("band", "band_hash"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     left = banded.select(
         F.col("doc_id").alias("doc_a"), "band", "band_hash"
@@ -337,9 +340,10 @@ def q_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
     HAMMING_MAX+1 = 7 chunks; candidates equi-join on
     (chunk_idx, chunk_value) (SortMerge/BHJ-able, shuffle key is 2
     small ints), then exact bit_count verifies only the candidates.
-    The simhash relation is persisted so the expensive per-token bit
-    aggregation runs once, not once per join side."""
-    sh = q_simhash(spark, sf).persist()
+    The simhash relation is materialized once (lazy localCheckpoint,
+    self-releasing — see q_lsh_near_dup_pairs) so the expensive
+    per-token bit aggregation runs once, not once per join side."""
+    sh = q_simhash(spark, sf).localCheckpoint(eager=False)
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -692,14 +696,16 @@ def q_ann_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: only (vec_id, tbl, bucket) crosses the self-join (the
     64-float vectors are re-attached to deduped candidates by two
     narrow joins, mirroring lsh_near_dup_pairs); the bucketed relation
-    is persisted so the hyperplane HOF runs once, not per join side."""
+    is materialized once (lazy localCheckpoint, self-releasing — see
+    q_lsh_near_dup_pairs) so the hyperplane HOF runs once, not per
+    join side."""
     (emb,) = load(spark, sf, "embeddings")
     emb = _with_double_vec(emb)
     vecs = emb.select("vec_id", "vec")
     b = emb.select(
         "vec_id",
         F.posexplode(F.expr(_BUCKETS_ARR)).alias("tbl", "bucket"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     left = b.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
     right = b.select(
         F.col("vec_id").alias("id_b"),
@@ -789,10 +795,6 @@ _SQL_CENTROID_DOTS = (
 )
 
 # argmax over the rounded dots; first index wins ties (both engines)
-_ASSIGN = (
-    f"array_position({_centroid_dots()}, "
-    f"array_max({_centroid_dots()})) - 1"
-)
 _SQL_ASSIGN = (
     f"list_position({_SQL_CENTROID_DOTS},"
     f" list_aggregate({_SQL_CENTROID_DOTS}, 'max')) - 1"
@@ -806,17 +808,29 @@ def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     tiebreak)."""
     (emb,) = load(spark, sf, "embeddings")
     emb = _with_double_vec(emb)
-    assigned = emb.select(
-        "vec_id", "vec", F.expr(_ASSIGN).cast("long").alias("cid")
-    ).persist()
+    # the 16x64 centroid-dot HOF chain is materialized ONCE as a `dots`
+    # column; cid and the probe lists are cheap array ops over it
+    # (Catalyst does not CSE aggregate-HOF chains across expression
+    # copies, so inlining the chain in assign + probe put it in the
+    # plan 3x — VERDICT r2 #5)
+    dotted = emb.withColumn("dots", F.expr(_centroid_dots()))
+    # the coalesce(-1) is inert (dots is never null) but makes cid
+    # NON-NULLABLE, so the join's inferred isnotnull(cid) constraint
+    # folds away instead of being pushed below this projection — where
+    # it would re-inline the whole chain twice per row
+    assigned = dotted.select(
+        "vec_id", "vec",
+        F.expr("coalesce(array_position(dots, array_max(dots)) - 1, -1)")
+        .cast("long").alias("cid"),
+    )
     # query side: the NPROBE centroid ids by descending rounded dot
     probe_lists = (
-        f"slice(array_sort(zip_with({_centroid_dots()},"
+        f"slice(array_sort(zip_with(dots,"
         f" sequence(0, {IVF_K - 1}), (d, c) -> struct(-d as nd, c as c))),"
         f" 1, {IVF_NPROBE})"
     )
     queries = (
-        emb.filter(F.col("vec_id") % 50 == 0)
+        dotted.filter(F.col("vec_id") % 50 == 0)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("vec").alias("qvec"),

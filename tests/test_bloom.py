@@ -31,10 +31,12 @@ def test_probe_paths_agree(spark):
     shards.persist().count()
     mixed = inserted.unionByName(_urls(spark, "out", 1000))
 
+    bcs: list = []
+
     def verdicts(cfg):
         return sorted(
             (r["canon_url"], r["maybe_seen"])
-            for r in bloom.probe(mixed, shards, cfg).collect())
+            for r in bloom.probe(mixed, shards, cfg, broadcasts=bcs).collect())
 
     got_bcast = verdicts(cfg_bcast)
     got_cogroup = verdicts(cfg_cogroup)
@@ -42,7 +44,9 @@ def test_probe_paths_agree(spark):
     # inserted rows must all be maybe_seen (no false negatives)
     assert all(seen for url, seen in got_bcast if "/in/" in url)
     shards.unpersist()
-    bloom.release_broadcasts()
+    assert len(bcs) == 1  # only the broadcast path registers a handle
+    bloom.release_broadcasts(bcs)
+    assert not bcs
 
 
 def test_no_false_negatives_and_fpr(spark):
