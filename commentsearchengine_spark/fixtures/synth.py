@@ -103,6 +103,138 @@ def outlinks(canon_url: str, n_hosts: int = N_HOSTS,
     return links
 
 
+# ----------------------------------------------- outlinks, batch-canonical
+#
+# Vectorized twin of ``outlinks()`` + ``urlnorm.canonicalize()`` for the
+# engine's fetch batches.  The synthetic link space has exactly three
+# shapes (see outlinks() above):
+#
+#   clean      — lowercase https URL, canonical by construction
+#   mangle==0  — clean + "?utm_source=feed&b=2&a=1#comments"; canonical
+#                form strips the fragment, drops utm_*, sorts the rest:
+#                clean + "?a=1&b=2"
+#   mangle==1  — uppercase host + ":443"; canonical form lowercases the
+#                host and strips the default port: identical to clean
+#
+# so the canonical (host, canon_url, path) of every link is a pure
+# function of the splitmix64 fields and can be emitted directly, without
+# building the raw string or running the canonicalizer.  All numeric
+# derivation is numpy over the whole batch; Python touches each link once
+# for string assembly.  Parity with the scalar path (what the sequential
+# oracle runs) is pinned by tests/test_properties.py::
+# test_outlinks_batch_matches_scalar — any drift also trips the bit-exact
+# engine-vs-oracle crawl match.
+
+import numpy as np
+
+_U64 = np.uint64
+_GOLD = 0xD1B54A32D192ED03
+_MANGLE0_Q = "?a=1&b=2"  # == canonicalize of "?utm_source=feed&b=2&a=1#comments"
+
+
+def _splitmix64_np(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 over a uint64 ndarray (wrapping mul/add, same bits as
+    the scalar ``mmh3.splitmix64``)."""
+    x = x + _U64(0x9E3779B97F4A7C15)
+    x = x ^ (x >> _U64(30))
+    x = x * _U64(0xBF58476D1CE4E5B9)
+    x = x ^ (x >> _U64(27))
+    x = x * _U64(0x94D049BB133111EB)
+    x = x ^ (x >> _U64(31))
+    return x
+
+
+_hosts_cache: dict[int, list[str]] = {}
+_SECT_PG = [f"/{s}/pg/" for s in SECTIONS]
+_POOL_PATHS = [
+    [f"/{s}/pg/pool{p:04d}/" for p in range(DUP_POOL)] for s in SECTIONS
+]
+
+
+def _hosts_list(n_hosts: int) -> list[str]:
+    hosts = _hosts_cache.get(n_hosts)
+    if hosts is None:
+        hosts = _hosts_cache[n_hosts] = [host_name(i) for i in range(n_hosts)]
+    return hosts
+
+
+def outlinks_canon_batch(
+    uh: np.ndarray, n_hosts: int = N_HOSTS,
+) -> list[list[dict]]:
+    """Per input url_hash, its outlinks ALREADY canonicalized:
+    ``[{j, canon_url, host, path}, ...]`` in link order.
+
+    ``uh`` is the murmur64 id column of the fetched pages (int64 or
+    uint64; signed values reinterpret as the same 64 bits, matching the
+    scalar path's Python-int masking).  Bit-identical to
+    ``[canonicalize-parts(outlinks(u)) for u]`` — see module comment.
+    """
+    n = len(uh)
+    if n == 0:
+        return []
+    uhv = np.asarray(uh).astype(np.uint64, copy=False)
+    k = (_splitmix64_np(uhv) % _U64(MAX_OUT + 1)).astype(np.int64)
+
+    j_consts = (
+        np.arange(1, MAX_OUT + 1, dtype=np.uint64) * _U64(_GOLD)
+    )  # wraps mod 2^64, == (GOLD * (j+1)) & M64
+    z = _splitmix64_np(uhv[:, None] ^ j_consts[None, :])
+    z2 = _splitmix64_np(z)
+    valid = np.arange(MAX_OUT, dtype=np.int64)[None, :] < k[:, None]
+    zf, z2f = z[valid], z2[valid]  # row-major flatten → grouped by row, j asc
+
+    hostsel = zf % _U64(100)
+    host_idx = np.where(
+        hostsel < _U64(60),
+        hostsel % _U64(5),
+        _U64(5) + (zf >> _U64(7)) % _U64(max(1, n_hosts - 5)),
+    ).astype(np.int64)
+    sect = ((zf >> _U64(28)) % _U64(len(SECTIONS))).astype(np.int64)
+    sel = ((zf >> _U64(33)) % _U64(20)).astype(np.int64)
+    poolid = ((zf >> _U64(38)) % _U64(DUP_POOL)).astype(np.int64)
+    privid = ((zf >> _U64(48)) % _U64(10_000)).astype(np.int64)
+    # "%012x" of this == f"{z2 & 0xFFFFFFFF:08x}{(z2 >> 32) & 0xFFFF:04x}"
+    hexv = ((z2f & _U64(0xFFFFFFFF)) << _U64(16)) | (
+        (z2f >> _U64(32)) & _U64(0xFFFF)
+    )
+    mangle0 = ((z2f >> _U64(48)) % _U64(20)) == 0
+
+    hosts = _hosts_list(n_hosts)
+    host_l = host_idx.tolist()
+    sect_l = sect.tolist()
+    sel_l = sel.tolist()
+    pool_l = poolid.tolist()
+    priv_l = privid.tolist()
+    hex_l = hexv.tolist()
+    m0_l = mangle0.tolist()
+
+    out: list[list[dict]] = []
+    pos = 0
+    for kk in k.tolist():
+        row = []
+        for j in range(kk):
+            i = pos + j
+            s = sel_l[i]
+            if s < 2:
+                path = _POOL_PATHS[sect_l[i]][pool_l[i]]
+            elif s == 2:
+                path = f"/private/{priv_l[i]:04x}/"
+            else:
+                path = _SECT_PG[sect_l[i]] + format(hex_l[i], "012x") + "/"
+            host = hosts[host_l[i]]
+            if m0_l[i]:
+                path += _MANGLE0_Q
+            row.append({
+                "j": j,
+                "canon_url": "https://" + host + path,
+                "host": host,
+                "path": path,
+            })
+        pos += kk
+        out.append(row)
+    return out
+
+
 # ------------------------------------------------------------------ robots
 
 def robots_rules(host: str) -> list[tuple[str, str, int]]:

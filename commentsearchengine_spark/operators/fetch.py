@@ -26,20 +26,17 @@ from pyspark.sql import DataFrame
 from .. import schemas
 from ..fixtures import synth
 from ..functions.imagecodec import payload_for
-from ..functions.urlnorm import (
-    canonicalize,
-    fast_canonical_parts,
-    host_of,
-    path_of,
-)
 
 # outlinks leave the fetch stage ALREADY canonicalized (op C1 runs inside
 # this same Python pass): a separate canonicalizer UDF downstream would be
 # another full ArrowEvalPython round-trip over ~4x the admitted rows —
 # serialize every raw link to the JVM, back to a Python worker, and back —
-# for work this worker can do while the strings are already in hand.  The
-# canonicalize/host_of/path_of functions are the exact ones the sequential
-# oracle uses, so parity is unchanged.  (The raw pre-canonical form is
+# for work this worker can do while the strings are already in hand.
+# Link synthesis + canonicalization is fully batch-vectorized
+# (synth.outlinks_canon_batch: numpy splitmix64 over the whole Arrow
+# batch, canonical parts emitted directly); the sequential oracle runs
+# the scalar outlinks()+canonicalize() path and tests pin the two
+# bit-equal, so parity is unchanged.  (The raw pre-canonical form is
 # consumed here and never used downstream, so it is not emitted — one
 # fewer string per link across the Arrow boundary.)
 FETCHED_SCHEMA = (
@@ -58,12 +55,11 @@ def fetch_pages(admitted: DataFrame, wave: int, n_hosts: int) -> DataFrame:
     Arrow), never a list of per-row dicts (pandas' slowest constructor —
     it re-infers dtypes cell by cell).  Scalar passthrough columns reuse
     the input batch's Arrow-backed series without touching the row loop.
-    Outlink canonicalization is memoized per task: the synthetic link
-    space (like a real crawl's) repeats hot targets, so most links hit
-    the memo instead of re-running the canonicalizer."""
+    Outlink synthesis + canonicalization runs ONCE per batch, vectorized
+    (numpy over the url_hash column); the remaining Python row loop only
+    drives the per-image numpy kernels."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        canon_memo: dict[str, tuple[str, str, str]] = {}
         for pdf in batches:
             image_ids: list = []
             blobs: list = []
@@ -72,29 +68,12 @@ def fetch_pages(admitted: DataFrame, wave: int, n_hosts: int) -> DataFrame:
             fmts: list = []
             captions: list = []
             phashes: list = []
-            outlinks_col: list = []
-            for cu, host, uh in zip(
-                pdf["canon_url"], pdf["host"], pdf["url_hash"], strict=True,
-            ):
-                uh = int(uh)
-                links = []
-                # uh == murmur64(canon_url) by construction (wave.py sets
-                # url_hash with the murmur64 column) — passing it skips
-                # the pure-Python murmur64 recompute per page
-                for j, raw in enumerate(synth.outlinks(cu, n_hosts, uh)):
-                    hit = canon_memo.get(raw)
-                    if hit is None:
-                        fast = fast_canonical_parts(raw)
-                        if fast is not None:
-                            hit = (raw, fast[0], fast[1])
-                        else:
-                            ccu = canonicalize(raw)
-                            hit = (ccu, host_of(ccu), path_of(ccu))
-                        canon_memo[raw] = hit
-                    links.append({
-                        "j": j, "canon_url": hit[0], "host": hit[1],
-                        "path": hit[2],
-                    })
+            # uh == murmur64(canon_url) by construction (wave.py sets
+            # url_hash with the murmur64 column), so the batch generator
+            # never recomputes the pure-Python hash
+            uh_np = pdf["url_hash"].to_numpy()
+            outlinks_col = synth.outlinks_canon_batch(uh_np, n_hosts)
+            for host, uh in zip(pdf["host"], uh_np, strict=True):
                 p = payload_for(int(uh), host, wave)
                 image_ids.append(p["image_id"])
                 blobs.append(p["bytes"])
@@ -103,7 +82,6 @@ def fetch_pages(admitted: DataFrame, wave: int, n_hosts: int) -> DataFrame:
                 fmts.append(p["fmt"])
                 captions.append(p["caption"])
                 phashes.append(p["phash"])
-                outlinks_col.append(links)
             yield pd.DataFrame({
                 "image_id": image_ids,
                 "bytes": blobs,

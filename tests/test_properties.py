@@ -74,6 +74,40 @@ def test_outlinks_deterministic_and_bounded(url_i):
         assert raw.startswith("https://")
 
 
+@settings(max_examples=20, deadline=None)
+@given(
+    uhs=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=0, max_size=64),
+)
+def test_outlinks_batch_matches_scalar(uhs):
+    """The engine's vectorized batch generator must emit exactly the
+    canonical parts the oracle derives via outlinks()+canonicalize() —
+    any drift forks the synthetic universe and breaks crawl parity."""
+    import numpy as np
+
+    from commentsearchengine_spark.functions.urlnorm import (
+        canonicalize, fast_canonical_parts, host_of, path_of,
+    )
+
+    batch = synth.outlinks_canon_batch(
+        np.array(uhs, dtype=np.int64), n_hosts=37)
+    assert len(batch) == len(uhs)
+    for uh, row in zip(uhs, batch, strict=True):
+        raws = synth.outlinks("ignored", n_hosts=37, uh=uh)
+        assert len(row) == len(raws)
+        for j, (raw, link) in enumerate(zip(raws, row, strict=True)):
+            fast = fast_canonical_parts(raw)
+            if fast is not None:
+                cu, host, path = raw, fast[0], fast[1]
+            else:
+                cu = canonicalize(raw)
+                host, path = host_of(cu), path_of(cu)
+            assert link == {
+                "j": j, "canon_url": cu, "host": host, "path": path,
+            }
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     words=st.lists(
