@@ -49,7 +49,7 @@ def _want_expr():
 from .. import schemas
 from ..config import DISC_SEQ_STRIDE, EngineConfig
 from ..fixtures import synth
-from ..functions.spark_cols import bucket_col, murmur64_col
+from ..functions.spark_cols import bucket_col, murmur64_col, seed_urls_df
 from ..operators import admission, bloom
 from ..operators.canonicalize import with_canonical
 from ..operators.dedup import dedup_within_wave, make_host_budget_udf
@@ -112,13 +112,11 @@ def bootstrap(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> int:
     robots = robots_table(spark, universe_hosts(cfg))
     rules_agg = aggregate_rules(robots)
 
-    import pandas as pd
-
-    urls = synth.seed_urls(cfg.n_seeds, cfg.seed_spread_hosts)
-    seeds = spark.createDataFrame(  # pandas -> Arrow path: a plain list of
-        # tuples serializes row-by-row through py4j (seconds at 10^5 seeds)
-        pd.DataFrame({"disc_seq": range(len(urls)), "url": urls}),
-        "disc_seq long, url string")
+    # seeds are synthesized DISTRIBUTED (native Column twin of
+    # synth.seed_urls — bit-identical strings): a driver-side Python list
+    # is serial non-scaling work (~10 s at 320k seeds) and impossible at
+    # the 10^10-frontier target
+    seeds = seed_urls_df(spark, cfg.n_seeds, cfg.seed_spread_hosts)
     cand = with_canonical(seeds)  # adds canon_url, host, path
 
     w = Window.partitionBy("canon_url").orderBy("disc_seq")
@@ -215,19 +213,26 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
       never a fixed coalesce(1) barrier."""
     wave_persists: list[DataFrame] = []
     wave_broadcasts: list = []
+    wave_pools: list = []
     try:
-        return _run_wave(spark, cat, cfg, wave_persists, wave_broadcasts)
+        return _run_wave(spark, cat, cfg, wave_persists, wave_broadcasts,
+                         wave_pools)
     finally:
         # always runs — an exception mid-wave must not leak this wave's
-        # cached relations or bloom broadcast bitmap blocks (scoped per
-        # wave; see bloom.release_broadcasts)
+        # early-write threads (they finish into the never-committed
+        # staging area; the next attempt re-stages every table), cached
+        # relations, or bloom broadcast bitmap blocks (scoped per wave;
+        # see bloom.release_broadcasts)
+        for pool in wave_pools:
+            pool.shutdown(wait=True)
         for df in wave_persists:
             df.unpersist()
         bloom.release_broadcasts(wave_broadcasts)
 
 
 def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
-              wave_persists: list, wave_broadcasts: list) -> dict:
+              wave_persists: list, wave_broadcasts: list,
+              wave_pools: list) -> dict:
     t0 = time.monotonic()
     snap = cat.load_snapshot()
     assert snap is not None, "bootstrap first"
@@ -282,6 +287,74 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
         "canon_url", "url_hash", F.lit(wave).alias("first_wave"))
     seen_updated = seen.unionByName(seen_new)
     hosts_updated = admission.update_tokens(hosts, admitted)
+
+    # ---- early writes: everything derivable from ADMITTED alone -----------
+    # seen / crawl_log appends and the frontier carry-forward (manifest
+    # split + touched-file rewrite) need nothing from the fetch, so they
+    # run on driver threads CONCURRENT with the fetch+expansion jobs —
+    # their latency hides behind the wave's dominant CPU instead of
+    # extending the post-expansion barrier.  All three read only the
+    # materialized `admitted` cache; the snapshot commit still happens
+    # once, at the end, after every future is collected.
+    entries = cat.table_files("frontier")
+    # O(entries) set split on decoded root-relative paths (NOT a nested
+    # endswith scan over URL-encoded URIs: 10^6 manifest files x 10^3
+    # touched would be 10^9 driver-side comparisons, and percent-encoded
+    # roots would silently match nothing — see icelite.uri_to_rel)
+    touched_rel = {icelite.uri_to_rel(f, cat.root) for f in touched_files}
+    untouched = [e for e in entries if e["path"] not in touched_rel]
+    touched = [e for e in entries if e["path"] in touched_rel]
+    unmatched = touched_rel - {e["path"] for e in touched}
+    if unmatched:
+        raise RuntimeError(
+            "admission touched files missing from the frontier manifest "
+            f"(path normalization bug or concurrent commit): {sorted(unmatched)[:5]}")
+
+    def write_tiered(df: DataFrame, n_rows: int) -> None:
+        """One directory PER PRIORITY VALUE (partitionBy on a duplicated
+        tier column — value-exact, no range sampling): every file's
+        [min,max] priority collapses to a point, so manifest pruning and
+        the carry-forward split stay sharp even when a wave writes only
+        a handful of rows per tier."""
+        # round-robin repartition (NOT keyed on priority — that would
+        # funnel each tier through a single task); every task then fans
+        # its rows into the per-tier directories
+        cat.stage_write(
+            df.withColumn("_tier", F.col("priority"))
+            .repartition(parts_for(n_rows)),
+            "frontier", mode="stage-append", partition_cols=["_tier"])
+
+    def write_frontier_base() -> None:
+        # stage_entries REPLACES the staged list, so it must precede
+        # every stage-append to frontier — including the new-entries
+        # write, which therefore waits on this future (see below)
+        cat.stage_entries("frontier", untouched)
+        if touched:
+            touched_rows = sum(e.get("rows") or 0 for e in touched)
+            # broadcast the admitted keys only while they fit (same
+            # guard as the maybe backstop): a 10^8-admitted wave would
+            # blow Spark's broadcast limit — fall back to a shuffle anti
+            keys = admitted.select("canon_url")
+            if n_admitted <= cfg.backstop_broadcast_max_rows:
+                keys = F.broadcast(keys)
+            rewrite = cat.scan_entries(
+                spark, touched, schemas.FRONTIER
+            ).join(keys, "canon_url", "left_anti").select(*FRONTIER_COLS)
+            write_tiered(rewrite, touched_rows)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    early_pool = ThreadPoolExecutor(max_workers=3)
+    wave_pools.append(early_pool)
+    early_futs = {
+        "seen": early_pool.submit(
+            cat.stage_write, seen_new.repartition(parts_for(n_admitted)),
+            "seen", "append"),
+        "crawl_log": early_pool.submit(
+            cat.stage_write, crawl_log_new.repartition(parts_for(n_admitted)),
+            "crawl_log", "append"),
+        "frontier_base": early_pool.submit(write_frontier_base),
+    }
 
     # ---- P0b + F1/F2/F3: salted fetch → pages write (ONE execution) -------
     # The fetch output is fat (image bytes): caching it for a second
@@ -434,85 +507,42 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
         )
     )
 
-    # ---- frontier: carry-forward commit -----------------------------------
-    # File-precise: a data file rewrites ONLY if an admitted row actually
-    # came out of it (admission tagged rows with input_file_name); every
-    # other file's manifest entry carries forward byte-untouched.  The
-    # rewrite drops admitted rows via a BROADCAST anti-join (the big side
-    # streams, nothing shuffles), and the wave's discoveries append as
-    # fresh per-priority-tier files.
-    entries = cat.table_files("frontier")
-    # O(entries) set split on decoded root-relative paths (NOT a nested
-    # endswith scan over URL-encoded URIs: 10^6 manifest files x 10^3
-    # touched would be 10^9 driver-side comparisons, and percent-encoded
-    # roots would silently match nothing — see icelite.uri_to_rel)
-    touched_rel = {icelite.uri_to_rel(f, cat.root) for f in touched_files}
-    untouched = [e for e in entries if e["path"] not in touched_rel]
-    touched = [e for e in entries if e["path"] in touched_rel]
-    unmatched = touched_rel - {e["path"] for e in touched}
-    if unmatched:
-        raise RuntimeError(
-            "admission touched files missing from the frontier manifest "
-            f"(path normalization bug or concurrent commit): {sorted(unmatched)[:5]}")
-
-    def write_tiered(df: DataFrame, n_rows: int) -> None:
-        """One directory PER PRIORITY VALUE (partitionBy on a duplicated
-        tier column — value-exact, no range sampling): every file's
-        [min,max] priority collapses to a point, so manifest pruning and
-        the carry-forward split stay sharp even when a wave writes only
-        a handful of rows per tier."""
-        # round-robin repartition (NOT keyed on priority — that would
-        # funnel each tier through a single task); every task then fans
-        # its rows into the per-tier directories
-        cat.stage_write(
-            df.withColumn("_tier", F.col("priority"))
-            .repartition(parts_for(n_rows)),
-            "frontier", mode="stage-append", partition_cols=["_tier"])
-
-    def write_frontier() -> None:
-        cat.stage_entries("frontier", untouched)
-        if touched:
-            touched_rows = sum(e.get("rows") or 0 for e in touched)
-            # broadcast the admitted keys only while they fit (same
-            # guard as the maybe backstop): a 10^8-admitted wave would
-            # blow Spark's broadcast limit — fall back to a shuffle anti
-            keys = admitted.select("canon_url")
-            if n_admitted <= cfg.backstop_broadcast_max_rows:
-                keys = F.broadcast(keys)
-            rewrite = cat.scan_entries(
-                spark, touched, schemas.FRONTIER
-            ).join(keys, "canon_url", "left_anti").select(*FRONTIER_COLS)
-            write_tiered(rewrite, touched_rows)
-        if n_new > 0:
-            write_tiered(new_entries, n_new)
-
-    # ---- S3/K1: writes + atomic snapshot commit ---------------------------
-    # independent jobs over persisted inputs, run from concurrent driver
-    # threads so wall-time is max(write) not sum(write)
+    # ---- S3/K1: remaining writes + atomic snapshot commit -----------------
+    # seen / crawl_log / frontier-carry-forward were launched right after
+    # admission (see early writes above) and have been overlapping the
+    # fetch+expansion; what remains depends on the expansion output.
+    # Independent jobs over persisted inputs run from concurrent driver
+    # threads so wall-time is max(write) not sum(write).
     want_obs = Observation()
     writes: list[tuple[str, DataFrame, str]] = [
-        ("seen", seen_new.repartition(parts_for(n_admitted)), "append"),
         # partition by the HOSTS table's own cardinality (known from the
         # parent manifest + at most n_new new hosts), not the wave size —
         # a throttled wave late in a big crawl still rewrites every host
         ("hosts", hosts_next.observe(want_obs, _want_expr()).repartition(
             parts_for(int(snap.row_counts.get("hosts", 0)) + n_new)),
          "overwrite"),
-        ("crawl_log", crawl_log_new.repartition(
-            parts_for(n_admitted)), "append"),
         ("lineage", lineage.coalesce(1), "append"),
         ("bloom_shards", shards_updated, "overwrite"),
     ]
-    from concurrent.futures import ThreadPoolExecutor
+
+    def write_frontier_new() -> None:
+        # the frontier staged list must already hold carried + rewritten
+        # entries before this stage-append (stage_entries replaces)
+        early_futs["frontier_base"].result()
+        if n_new > 0:
+            write_tiered(new_entries, n_new)
 
     with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
         futs = {
             name: pool.submit(cat.stage_write, df, name, mode)
             for name, df, mode in writes
         }
-        futs["frontier"] = pool.submit(write_frontier)
+        futs["frontier"] = pool.submit(write_frontier_new)
         for name, fut in futs.items():
             fut.result()
+        for name, fut in early_futs.items():
+            fut.result()
+    early_pool.shutdown(wait=True)
     _mark("writes", tick)
     wall = time.monotonic() - t0
     metrics = {

@@ -34,3 +34,20 @@ def test_murmur64_matches_spark_column(spark):
     rows = df.select("u", murmur64_col(F.col("u")).alias("h")).collect()
     for r in rows:
         assert murmur64(r["u"]) == r["h"], repr(r["u"])
+
+
+def test_seed_urls_df_matches_python_twin(spark):
+    """The engine's distributed seed synthesis must emit exactly the
+    strings the oracle's pure-Python synth.seed_urls builds — including
+    4-digit host indexes, where lpad-style padding would truncate."""
+    from commentsearchengine_spark.fixtures import synth
+    from commentsearchengine_spark.functions.spark_cols import seed_urls_df
+
+    for n, spread in [(500, 0), (500, 37), (2500, 2000)]:
+        want = synth.seed_urls(n, spread)
+        got = [
+            r["url"]
+            for r in seed_urls_df(spark, n, spread)
+            .orderBy("disc_seq").collect()
+        ]
+        assert got == want, (n, spread)
