@@ -445,7 +445,14 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     new_entries = fresh.unionByName(surviving_maybe).select(
         *FRONTIER_COLS).persist()
     wave_persists.append(new_entries)
-    n_new = new_entries.count()
+    # NO count barrier here: a count() action would schedule the whole
+    # candidate pipeline once just to learn its size.  The consumers
+    # below materialize the persisted relation on first touch; write
+    # sizing uses the admitted-set bound, and the EXACT count arrives
+    # free via an Observation riding the frontier write (metrics read it
+    # after the writes complete).
+    n_new_bound = n_admitted * synth.MAX_OUT
+    new_obs = Observation()
     _mark("expand", tick)
 
     # ---- B1: new discoveries enter the bloom ------------------------------
@@ -516,10 +523,11 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     want_obs = Observation()
     writes: list[tuple[str, DataFrame, str]] = [
         # partition by the HOSTS table's own cardinality (known from the
-        # parent manifest + at most n_new new hosts), not the wave size —
-        # a throttled wave late in a big crawl still rewrites every host
+        # parent manifest + at most one new host per discovery), not the
+        # wave size — a throttled wave late in a big crawl still
+        # rewrites every host
         ("hosts", hosts_next.observe(want_obs, _want_expr()).repartition(
-            parts_for(int(snap.row_counts.get("hosts", 0)) + n_new)),
+            parts_for(int(snap.row_counts.get("hosts", 0)) + n_new_bound)),
          "overwrite"),
         ("lineage", lineage.coalesce(1), "append"),
         ("bloom_shards", shards_updated, "overwrite"),
@@ -529,8 +537,9 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
         # the frontier staged list must already hold carried + rewritten
         # entries before this stage-append (stage_entries replaces)
         early_futs["frontier_base"].result()
-        if n_new > 0:
-            write_tiered(new_entries, n_new)
+        write_tiered(
+            new_entries.observe(new_obs, F.count(F.lit(1)).alias("n")),
+            n_new_bound)
 
     with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
         futs = {
@@ -544,6 +553,7 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
             fut.result()
     early_pool.shutdown(wait=True)
     _mark("writes", tick)
+    n_new = int(new_obs.get["n"] or 0)
     wall = time.monotonic() - t0
     metrics = {
         "wave": wave, "admitted": n_admitted, "new_frontier": n_new,
