@@ -99,8 +99,8 @@ def bench_crawl(spark, cores: int) -> dict:
     # politeness budget x live hosts reaches 10^6-10^8 URLs per wave —
     # at smaller waves the ~25-stage barrier constant swamps the signal
     cfg = EngineConfig(
-        n_seeds=320_000, n_waves=2, n_buckets=64, n_hosts=2000,
-        bloom_shards=8, seed_spread_hosts=2000, budget_scale=1024.0,
+        n_seeds=320_000, n_waves=3, n_buckets=64, n_hosts=2000,
+        bloom_shards=8, seed_spread_hosts=2000, budget_scale=4096.0,
     )
     # tmpfs catalog root: the bench measures ENGINE scaling; a single
     # VM disk is a non-scaling resource a real cluster does not have

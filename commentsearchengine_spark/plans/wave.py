@@ -420,10 +420,24 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     # below includes this wave's admitted rows, but those are already
     # excluded by the seen backstop (admitted ⊆ seen_updated), so the
     # verdict equals an anti-join against frontier-minus-admitted.
-    # Strategy picked WITHOUT an extra count job: the maybe set is
-    # bounded by this wave's candidates (n_admitted x MAX_OUT).
     frontier_full = cat.scan(spark, "frontier", schema_ddl=schemas.FRONTIER)
-    if n_admitted * synth.MAX_OUT <= cfg.backstop_broadcast_max_rows:
+    # ONE fused agg materializes the persisted probe output (every
+    # downstream relation — fresh/maybe, bloom build, host credit,
+    # lineage, the frontier write — consumes that cache, so this is
+    # scheduling order, not extra compute) and returns the EXACT
+    # collision volume.  Choosing the backstop strategy on the
+    # worst-case candidate bound (n_admitted x MAX_OUT) instead would
+    # take the shuffle fallback on every production-sized wave — and
+    # that fallback shuffles the FULL frontier + seen tables, the one
+    # per-wave term that must not exist at a 10^10-row frontier.  What
+    # actually has to fit in the broadcast is the maybe set (bloom FPR
+    # x fresh + true re-discoveries), orders of magnitude smaller than
+    # the bound; the shuffle path survives only as the overflow valve.
+    n_uniq, n_maybe = probed.agg(
+        F.count(F.lit(1)),
+        F.sum(F.col("maybe_seen").cast("long"))).collect()[0]
+    n_uniq, n_maybe = int(n_uniq), int(n_maybe or 0)
+    if n_maybe <= cfg.backstop_broadcast_max_rows:
         # shuffle-free: ONE broadcast of the maybe keys streams both big
         # tables (columnar key-column scans, no shuffle, no build side)
         keys = maybe.select("canon_url").distinct()
@@ -445,13 +459,13 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     new_entries = fresh.unionByName(surviving_maybe).select(
         *FRONTIER_COLS).persist()
     wave_persists.append(new_entries)
-    # NO count barrier here: a count() action would schedule the whole
-    # candidate pipeline once just to learn its size.  The consumers
-    # below materialize the persisted relation on first touch; write
-    # sizing uses the admitted-set bound, and the EXACT count arrives
-    # free via an Observation riding the frontier write (metrics read it
+    # NO count barrier on new_entries itself: its consumers materialize
+    # the persisted relation on first touch, write sizing uses the
+    # within-wave-unique bound (n_new ≤ n_uniq exactly: new_entries =
+    # fresh ∪ surviving_maybe ⊆ uniq), and the EXACT count arrives free
+    # via an Observation riding the frontier write (metrics read it
     # after the writes complete).
-    n_new_bound = n_admitted * synth.MAX_OUT
+    n_new_bound = n_uniq
     new_obs = Observation()
     _mark("expand", tick)
 

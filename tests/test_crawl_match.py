@@ -74,6 +74,20 @@ def test_exact_match_spread_scaled(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_exact_match_shuffle_backstop(spark):
+    """Forcing the backstop's shuffle anti-join fallback (broadcast
+    threshold 0) and the cogrouped admission rewrite preserves oracle
+    parity — the strategy switch is plan-only, never semantic."""
+    cfg = EngineConfig(n_seeds=25, n_waves=3, n_buckets=32,
+                       backstop_broadcast_max_rows=0)
+    cat, root = _run_engine(spark, cfg)
+    try:
+        o = run_oracle(25, 3, 32, cfg.n_hosts)
+        _assert_match(spark, cat, o)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_parallelism_independence(spark):
     """Same input, different shuffle parallelism → identical crawl_log."""
     cfg = EngineConfig(n_seeds=10, n_waves=2, n_buckets=16)
