@@ -760,6 +760,44 @@ WHERE cosine >= {COSINE_THRESHOLD}
 """
 
 
+def q_cosine_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, EXACT brute force: every pair
+    (id_a < id_b) with cosine >= COSINE_THRESHOLD.
+
+    This is the labeled 100%-recall reference for the approximate
+    paths (`ann_lsh_pairs`, `ivf_ann_topk`) — diffing its output
+    against theirs measures their recall at the same threshold.  Scale
+    shape: broadcast one side and stream the corpus once per executor;
+    O(n^2) comparisons make it a SMALL-CORPUS/VALIDATION tool only —
+    at 100 TB the LSH/IVF plans are the production paths."""
+    (emb,) = load(spark, sf, "embeddings")
+    emb = _with_double_vec(emb)
+    left = emb.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
+    right = emb.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    sim = F.expr(_DOT) / (
+        F.expr(_NORM.format(v="va")) * F.expr(_NORM.format(v="vb"))
+    )
+    return (
+        F.broadcast(left)
+        .join(right, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+SQL_COSINE_NEAR_DUP_PAIRS = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+WHERE cosine >= {COSINE_THRESHOLD}
+"""
+
+
 # ---- IVF ANN: coarse quantizer + inverted lists ---------------------------
 #
 # The second scale path for similarity search (brief: "IVF or LSH"):
@@ -938,4 +976,6 @@ QUERIES: dict[str, tuple] = {
     "ann_lsh_pairs": (q_ann_lsh_pairs, SQL_ANN_LSH_PAIRS),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_IVF_ANN_TOPK),
     "array_hof": (q_array_hof, SQL_ARRAY_HOF),
+    "cosine_near_dup_pairs": (
+        q_cosine_near_dup_pairs, SQL_COSINE_NEAR_DUP_PAIRS),
 }

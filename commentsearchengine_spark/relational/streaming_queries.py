@@ -34,7 +34,15 @@ LATE_SLICE = 50  # oldest rows replayed in the LAST chunk => late
 def _chunk_frames(spark: SparkSession, sf: str) -> list[pd.DataFrame]:
     """`events` split into N_CHUNKS chronological pandas chunks, except
     the LATE_SLICE oldest rows which are held back into the final chunk
-    (they arrive behind the watermark -> exercise the late-drop path)."""
+    (they arrive behind the watermark -> exercise the late-drop path).
+
+    CAVEAT (scale): this REPLAY HARNESS — not the streaming query it
+    feeds — round-trips the events table through the driver (orderBy +
+    toPandas + a per-process cache) to build a deterministic
+    micro-batch sequence the DuckDB-checked gate can replay.  That is
+    fine for the sf0.01 demo tables it serves; a production source
+    would be Kafka/files via readStream with no driver materialization.
+    Do not grow this path past demo scale."""
     key = (sf, "chunks")
     if key in _cache:
         return _cache[key]  # type: ignore[return-value]
