@@ -798,6 +798,50 @@ WHERE cosine >= {COSINE_THRESHOLD}
 """
 
 
+def q_ann_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall of the hyperplane-LSH near-dup pairs against the exact
+    brute-force ground truth at the shared threshold — the quality
+    metric an ANN deployment must monitor.  One row: |truth|, |lsh|,
+    |hit| and recall = hit / truth.
+
+    Reading the number honestly: random-hyperplane LSH collides pairs
+    with probability (1 - θ/π)^planes per table, so it is built for the
+    HIGH-similarity regime (θ→0).  The synthetic embeddings are random
+    vectors — every "near" pair at the demo threshold 0.3 sits at
+    θ≈72°, where 12-plane collisions are ~0.2% — so measured recall
+    here is deliberately tiny (3/990 at sf0.01).  On a corpus with real
+    duplicate structure (the production case) the same bands catch
+    near-identical vectors with probability ≈1; this query is what
+    verifies that on YOUR data before trusting the approximate plan."""
+    truth = q_cosine_near_dup_pairs(spark, sf).select("id_a", "id_b")
+    approx = q_ann_lsh_pairs(spark, sf).select("id_a", "id_b")
+    hit = truth.join(approx, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true", "n_lsh", "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+        )
+    )
+
+
+SQL_ANN_LSH_RECALL = f"""
+WITH truth AS ({SQL_COSINE_NEAR_DUP_PAIRS}),
+approx AS ({SQL_ANN_LSH_PAIRS})
+SELECT n_true, n_lsh, n_hit,
+       round(n_hit / n_true, 6) AS recall
+FROM (SELECT
+        (SELECT count(*) FROM truth)::BIGINT AS n_true,
+        (SELECT count(*) FROM approx)::BIGINT AS n_lsh,
+        (SELECT count(*) FROM truth t
+          WHERE EXISTS (SELECT 1 FROM approx a
+                        WHERE a.id_a = t.id_a AND a.id_b = t.id_b)
+        )::BIGINT AS n_hit)
+"""
+
+
 # ---- IVF ANN: coarse quantizer + inverted lists ---------------------------
 #
 # The second scale path for similarity search (brief: "IVF or LSH"):
@@ -978,4 +1022,5 @@ QUERIES: dict[str, tuple] = {
     "array_hof": (q_array_hof, SQL_ARRAY_HOF),
     "cosine_near_dup_pairs": (
         q_cosine_near_dup_pairs, SQL_COSINE_NEAR_DUP_PAIRS),
+    "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),
 }
