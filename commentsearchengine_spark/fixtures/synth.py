@@ -199,7 +199,11 @@ def outlinks_canon_batch(
     )
     mangle0 = ((z2f >> _U64(48)) % _U64(20)) == 0
 
-    hosts = _hosts_list(n_hosts)
+    # n_hosts <= 5 degenerates the cold-host branch to index 5 exactly
+    # (5 + z % max(1, n_hosts-5) == 5); the scalar twin calls
+    # host_name(5) directly, so the lookup list must reach index 5 even
+    # when the universe is smaller
+    hosts = _hosts_list(max(n_hosts, 6))
     host_l = host_idx.tolist()
     sect_l = sect.tolist()
     sel_l = sel.tolist()

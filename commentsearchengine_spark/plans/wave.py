@@ -356,6 +356,15 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
         "frontier_base": early_pool.submit(write_frontier_base),
     }
 
+    def raise_failed_early_writes() -> None:
+        # fail-fast poll (non-blocking): an early write that died (disk
+        # full, broadcast OOM) should abort the wave at the NEXT phase
+        # boundary, not after minutes of fetch+expansion compute whose
+        # snapshot could never commit anyway
+        for name, fut in early_futs.items():
+            if fut.done() and fut.exception() is not None:
+                raise fut.exception()
+
     # ---- P0b + F1/F2/F3: salted fetch → pages write (ONE execution) -------
     # The fetch output is fat (image bytes): caching it for a second
     # consumer spills gigabytes once execution memory competes (measured
@@ -372,8 +381,10 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
 
     fetched = fetch_pages(
         salted.repartition(par * 4, "host", "salt"), wave, cfg.n_hosts)
+    raise_failed_early_writes()
     pages_entries = cat.stage_write(fetched, "pages", "append")
     _mark("fetch_write", tick)
+    raise_failed_early_writes()
     fetch_log = cat.scan_entries(spark, pages_entries, FETCHED_SCHEMA)
 
     # ---- expansion: C1 → P2 → D1 → B2/B3 ----------------------------------
@@ -468,6 +479,7 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     n_new_bound = n_uniq
     new_obs = Observation()
     _mark("expand", tick)
+    raise_failed_early_writes()
 
     # ---- B1: new discoveries enter the bloom ------------------------------
     shards_updated = bloom.build_shards(new_entries, shards, cfg)

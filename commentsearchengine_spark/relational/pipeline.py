@@ -813,8 +813,14 @@ def q_ann_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     duplicate structure (the production case) the same bands catch
     near-identical vectors with probability ≈1; this query is what
     verifies that on YOUR data before trusting the approximate plan."""
-    truth = q_cosine_near_dup_pairs(spark, sf).select("id_a", "id_b")
-    approx = q_ann_lsh_pairs(spark, sf).select("id_a", "id_b")
+    # both inputs feed two consumers (their count agg + the hit join);
+    # materialize each once — lazy localCheckpoint, self-releasing, the
+    # file's convention (see q_lsh_near_dup_pairs) — or the O(n^2)
+    # brute-force join and the whole LSH chain would each run twice
+    truth = q_cosine_near_dup_pairs(spark, sf).select(
+        "id_a", "id_b").localCheckpoint(eager=False)
+    approx = q_ann_lsh_pairs(spark, sf).select(
+        "id_a", "id_b").localCheckpoint(eager=False)
     hit = truth.join(approx, ["id_a", "id_b"], "left_semi")
     return (
         truth.agg(F.count(F.lit(1)).alias("n_true"))

@@ -25,7 +25,9 @@ GATE_WINDOW = 50
 
 # First-50 driver window: 32 never/no-longer-certified + 18 canaries.
 GATE_ORDER = [
-    # -- 17 oracle-paired entries never inside a driver window ----------
+    # -- 20 oracle-paired entries with no green driver row: 3 evicted
+    #    from the r01 window (simhash_near_pairs/fingerprint/langid) +
+    #    17 never checked ---------------------------------------------
     "simhash_near_pairs",
     "fingerprint",
     "langid",

@@ -79,8 +79,11 @@ def test_outlinks_deterministic_and_bounded(url_i):
     uhs=st.lists(
         st.integers(min_value=-(2**63), max_value=2**63 - 1),
         min_size=0, max_size=64),
+    # include universes at/below the 5 hot hosts: the cold-host branch
+    # degenerates to index 5 there and must still match the scalar twin
+    n_hosts=st.sampled_from([2, 5, 6, 37]),
 )
-def test_outlinks_batch_matches_scalar(uhs):
+def test_outlinks_batch_matches_scalar(uhs, n_hosts):
     """The engine's vectorized batch generator must emit exactly the
     canonical parts the oracle derives via outlinks()+canonicalize() —
     any drift forks the synthetic universe and breaks crawl parity."""
@@ -91,10 +94,10 @@ def test_outlinks_batch_matches_scalar(uhs):
     )
 
     batch = synth.outlinks_canon_batch(
-        np.array(uhs, dtype=np.int64), n_hosts=37)
+        np.array(uhs, dtype=np.int64), n_hosts=n_hosts)
     assert len(batch) == len(uhs)
     for uh, row in zip(uhs, batch, strict=True):
-        raws = synth.outlinks("ignored", n_hosts=37, uh=uh)
+        raws = synth.outlinks("ignored", n_hosts=n_hosts, uh=uh)
         assert len(row) == len(raws)
         for j, (raw, link) in enumerate(zip(raws, row, strict=True)):
             fast = fast_canonical_parts(raw)
