@@ -1011,6 +1011,46 @@ FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
 """
 
 
+def q_ivf_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of the IVF top-k against the exact brute-force top-k
+    (same query set, same k, same rounding/tiebreak) — the quality
+    monitor for the second approximate path.  One row: |truth|, |ivf|,
+    |hit| and recall = hit / truth.  Unlike the LSH monitor this one
+    reads well on random vectors too: nprobe/K bounds how much of the
+    corpus each query sees, so recall ≈ the probability the true
+    neighbours' centroids land in the probed lists."""
+    truth = q_cosine_topk(spark, sf).select(
+        "query_id", "neighbor_id").localCheckpoint(eager=False)
+    approx = q_ivf_ann_topk(spark, sf).select(
+        "query_id", "neighbor_id").localCheckpoint(eager=False)
+    hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_ivf")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true", "n_ivf", "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+        )
+    )
+
+
+SQL_IVF_ANN_RECALL = f"""
+WITH truth AS ({SQL_COSINE_TOPK}),
+approx AS ({SQL_IVF_ANN_TOPK})
+SELECT n_true, n_ivf, n_hit,
+       round(n_hit / n_true, 6) AS recall
+FROM (SELECT
+        (SELECT count(*) FROM truth)::BIGINT AS n_true,
+        (SELECT count(*) FROM approx)::BIGINT AS n_ivf,
+        (SELECT count(*) FROM truth t
+          WHERE EXISTS (SELECT 1 FROM approx a
+                        WHERE a.query_id = t.query_id
+                          AND a.neighbor_id = t.neighbor_id)
+        )::BIGINT AS n_hit)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
@@ -1029,4 +1069,5 @@ QUERIES: dict[str, tuple] = {
     "cosine_near_dup_pairs": (
         q_cosine_near_dup_pairs, SQL_COSINE_NEAR_DUP_PAIRS),
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),
+    "ivf_ann_recall": (q_ivf_ann_recall, SQL_IVF_ANN_RECALL),
 }
