@@ -35,6 +35,45 @@ def test_resume_equivalence(spark):
         shutil.rmtree(resumed_root, ignore_errors=True)
 
 
+def test_failed_wave_is_resumable(spark, monkeypatch):
+    """A write failure mid-wave (here: the seen append, one of the
+    early writes that overlap the fetch) must abort the wave — surfaced
+    by the fail-fast poll at the next phase boundary — WITHOUT
+    committing anything; re-running the crawl then produces tables
+    bit-identical to a never-failed run (staged files of the dead wave
+    are replaced, the snapshot chain never saw it)."""
+    straight_root = tempfile.mkdtemp(prefix="icelite-nofail-")
+    failed_root = tempfile.mkdtemp(prefix="icelite-failed-")
+    cfg = EngineConfig(n_seeds=8, n_waves=2, n_buckets=16)
+    orig = Catalog.stage_write
+    boom = {"armed": True}
+
+    def flaky(self, df, table, mode="overwrite", partitions=None,
+              partition_cols=None):
+        if boom["armed"] and table == "seen" and mode == "append":
+            boom["armed"] = False
+            raise RuntimeError("injected seen-write failure")
+        return orig(self, df, table, mode, partitions, partition_cols)
+
+    try:
+        cat_a = run_crawl(spark, straight_root, cfg)
+        monkeypatch.setattr(Catalog, "stage_write", flaky)
+        try:
+            run_crawl(spark, failed_root, cfg)
+            raise AssertionError("injected failure did not propagate")
+        except RuntimeError as e:
+            assert "injected seen-write failure" in str(e)
+        # the dead wave must not have committed
+        snap = Catalog(failed_root).load_snapshot()
+        assert snap.wave == 0
+        # resume after the fault clears: identical final state
+        cat_b = run_crawl(spark, failed_root, cfg)
+        assert _tables(spark, cat_a) == _tables(spark, cat_b)
+    finally:
+        shutil.rmtree(straight_root, ignore_errors=True)
+        shutil.rmtree(failed_root, ignore_errors=True)
+
+
 def test_time_travel(spark):
     root = tempfile.mkdtemp(prefix="icelite-tt-")
     try:
