@@ -28,10 +28,17 @@ class EngineConfig:
     # size broadcast to workers (shuffle-free probe); larger ones cogroup
     # per shard.  Does not affect results, only the physical plan.
     bloom_broadcast_max_bytes: int = 64 << 20
-    # hot-host salting (op P0b): hosts with more admitted rows than this
-    # per wave get split into `salt_factor` sub-partitions for fetch
-    skew_threshold: int = 10_000
+    # hot-host salting (op P0b): every host gets at least `salt_factor`
+    # salted fetch sub-partitions (the floor keeps the repartition key
+    # space dense enough to hash-balance uniform waves); hosts whose
+    # MEASURED admitted count exceeds its share of the wave grow their
+    # fan-out adaptively, s(h) = clamp(ceil(n_h / target_rows),
+    # salt_factor, salt_factor_max) with target_rows derived from the
+    # wave's admitted count and the cluster parallelism (plans/wave.py).
+    # Purely physical: crawl order is decided at admission, before the
+    # salted repartition (tools/skew_drive.py verifies exact parity).
     salt_factor: int = 32
+    salt_factor_max: int = 1024
     # Arrow batch sizing: image rows are fat (SURVEY §4), but batches
     # that are too small multiply JVM<->Python round-trips — measured
     # 2x wave wall-time at 512 rows vs 4096 on 32 cores.  4096 rows
@@ -57,7 +64,8 @@ class EngineConfig:
     backstop_broadcast_max_rows: int = 500_000
 
     _PLAN_ONLY = ("n_waves", "admission_head_factor", "write_rows_per_file",
-                  "backstop_broadcast_max_rows")
+                  "backstop_broadcast_max_rows", "salt_factor",
+                  "salt_factor_max")
 
     def config_hash(self) -> str:
         """Hash of the semantics-affecting parameters.  ``n_waves`` is a

@@ -308,7 +308,9 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     if unmatched:
         raise RuntimeError(
             "admission touched files missing from the frontier manifest "
-            f"(path normalization bug or concurrent commit): {sorted(unmatched)[:5]}")
+            "(path normalization bug — e.g. a symlinked catalog root the "
+            "JVM resolved differently, see icelite.uri_to_rel — or a "
+            f"concurrent commit): {sorted(unmatched)[:5]}")
 
     def write_tiered(df: DataFrame, n_rows: int) -> None:
         """One directory PER PRIORITY VALUE (partitionBy on a duplicated
@@ -375,8 +377,36 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     # outlink columns from the just-written parquet (columnar pruning
     # never touches the bytes column).
     par = spark.sparkContext.defaultParallelism
-    salted = admitted.drop("_src_file").withColumn(
-        "salt", F.pmod(F.hash("canon_url"), F.lit(cfg.salt_factor)))
+    # P0b, adaptive (VERDICT r3 task #6): the salt fan-out per host is
+    # derived from that host's MEASURED admitted count, not a fixed
+    # knob.  target_rows = an eighth of an even partition share, so even
+    # when two heavy (host, salt) keys hash into one partition the
+    # fetch stays balanced; s(h) = clamp(ceil(n_h / target_rows),
+    # salt_factor, salt_factor_max).  The floor keeps uniform waves'
+    # key space dense (hash balance); the cap bounds a 10^10-scale
+    # mega-host's key count.  The per-host counts aggregate the already-
+    # persisted `admitted` cache and broadcast (≤ one row per live
+    # host), riding the fetch job — no extra driver action.  Purely
+    # physical: admission order is fixed before this repartition.
+    target_rows = max(1, n_admitted // (par * 8) + 1)
+    host_salt = admitted.groupBy("host").agg(
+        F.count("*").alias("_n")
+    ).select(
+        "host",
+        F.least(
+            F.lit(cfg.salt_factor_max),
+            F.greatest(
+                F.lit(cfg.salt_factor),
+                F.ceil(F.col("_n") / F.lit(target_rows)),
+            ),
+        ).cast("int").alias("_s"),
+    )
+    salted = (
+        admitted.drop("_src_file")
+        .join(F.broadcast(host_salt), "host")
+        .withColumn("salt", F.pmod(F.hash("canon_url"), F.col("_s")))
+        .drop("_s")
+    )
     from ..operators.fetch import FETCHED_SCHEMA, fetch_pages
 
     fetched = fetch_pages(
@@ -563,6 +593,12 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
         # the frontier staged list must already hold carried + rewritten
         # entries before this stage-append (stage_entries replaces)
         early_futs["frontier_base"].result()
+        if n_new_bound == 0:
+            # quiet wave (every candidate deduped/blocked): skip the
+            # empty Spark write whose only product would be the
+            # Observation count — new_entries ⊆ uniq, so n_uniq == 0
+            # proves n_new == 0 (ADVICE r3)
+            return
         write_tiered(
             new_entries.observe(new_obs, F.count(F.lit(1)).alias("n")),
             n_new_bound)
@@ -579,7 +615,9 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
             fut.result()
     early_pool.shutdown(wait=True)
     _mark("writes", tick)
-    n_new = int(new_obs.get["n"] or 0)
+    # reading a never-fired Observation would block forever — the quiet
+    # wave skipped the write, so its count is definitionally 0
+    n_new = int(new_obs.get["n"] or 0) if n_new_bound > 0 else 0
     wall = time.monotonic() - t0
     metrics = {
         "wave": wave, "admitted": n_admitted, "new_frontier": n_new,

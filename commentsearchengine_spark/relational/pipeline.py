@@ -769,8 +769,20 @@ def q_cosine_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     against theirs measures their recall at the same threshold.  Scale
     shape: broadcast one side and stream the corpus once per executor;
     O(n^2) comparisons make it a SMALL-CORPUS/VALIDATION tool only —
-    at 100 TB the LSH/IVF plans are the production paths."""
+    at 100 TB the LSH/IVF plans are the production paths, and the
+    recall monitor that stays runnable there is
+    `ann_lsh_recall_sampled` (query-stratum truth, O(n*s)).  The
+    explicit guard below turns the otherwise-inevitable broadcast OOM
+    past validation scale into a clear error (ADVICE r3)."""
     (emb,) = load(spark, sf, "embeddings")
+    n_vecs = emb.count()  # parquet metadata count: cheap, no scan
+    if n_vecs > 1_000_000:
+        raise ValueError(
+            f"cosine_near_dup_pairs is a validation-scale tool: corpus has "
+            f"{n_vecs} vectors; > 1e6 would broadcast-OOM the O(n^2) plan. "
+            "Use ann_lsh_pairs / ivf_ann_topk for production and "
+            "ann_lsh_recall_sampled to monitor their recall."
+        )
     emb = _with_double_vec(emb)
     left = emb.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
     right = emb.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
@@ -812,7 +824,13 @@ def q_ann_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     here is deliberately tiny (3/990 at sf0.01).  On a corpus with real
     duplicate structure (the production case) the same bands catch
     near-identical vectors with probability ≈1; this query is what
-    verifies that on YOUR data before trusting the approximate plan."""
+    verifies that on YOUR data before trusting the approximate plan.
+
+    Scale note: the ground truth here is the UNSAMPLED O(n^2)
+    brute-force pair set — exact, but unrunnable past validation
+    corpora.  At production scale run `ann_lsh_recall_sampled`
+    instead: same metric over a deterministic query stratum, truth
+    cost O(n*s)."""
     # both inputs feed two consumers (their count agg + the hit join);
     # materialize each once — lazy localCheckpoint, self-releasing, the
     # file's convention (see q_lsh_near_dup_pairs) — or the O(n^2)
@@ -844,6 +862,101 @@ FROM (SELECT
         (SELECT count(*) FROM truth t
           WHERE EXISTS (SELECT 1 FROM approx a
                         WHERE a.id_a = t.id_a AND a.id_b = t.id_b)
+        )::BIGINT AS n_hit)
+"""
+
+
+# Deterministic query stratum for the scale-safe recall monitor: every
+# RECALL_SAMPLE_MOD-th vector id.  Stratified-by-id (not rand()) so the
+# Spark plan, the DuckDB oracle, and any re-run pick the same queries.
+RECALL_SAMPLE_MOD = 10
+
+
+def q_ann_lsh_recall_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale-safe LSH recall monitor (VERDICT r3 task #4): recall of the
+    hyperplane-LSH near-dup pairs against an exact ground truth built
+    ONLY for a deterministic query stratum (vec_id % RECALL_SAMPLE_MOD
+    == 0).
+
+    Truth is directional: for each sampled query q, the exact
+    neighbours with cosine >= threshold — a broadcast(|S|) x corpus
+    join, O(n*s) where s = n / RECALL_SAMPLE_MOD queries, NOT the
+    O(n^2) all-pairs join of `ann_lsh_recall` (which stays the exact
+    small-corpus reference).  The LSH pair set is folded to the same
+    directional stratum ((a,b) contributes a->b when a is sampled and
+    b->a when b is), so recall compares like with like.  At 10^8+
+    vectors this is the monitor you can actually run: pick
+    RECALL_SAMPLE_MOD so |S| stays broadcastable and the truth join is
+    one corpus scan."""
+    (emb,) = load(spark, sf, "embeddings")
+    emb = _with_double_vec(emb)
+    queries = emb.filter(
+        F.col("vec_id") % RECALL_SAMPLE_MOD == 0
+    ).select(F.col("vec_id").alias("query_id"), F.col("vec").alias("va"))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("vb")
+    )
+    sim = F.expr(_DOT) / (
+        F.expr(_NORM.format(v="va")) * F.expr(_NORM.format(v="vb"))
+    )
+    truth = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("query_id", "neighbor_id")
+    ).localCheckpoint(eager=False)
+    pairs = q_ann_lsh_pairs(spark, sf).select("id_a", "id_b")
+    approx = (
+        pairs.filter(F.col("id_a") % RECALL_SAMPLE_MOD == 0)
+        .select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("neighbor_id"),
+        )
+        .unionByName(
+            pairs.filter(F.col("id_b") % RECALL_SAMPLE_MOD == 0).select(
+                F.col("id_b").alias("query_id"),
+                F.col("id_a").alias("neighbor_id"),
+            )
+        )
+    ).localCheckpoint(eager=False)
+    hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true", "n_lsh", "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+        )
+    )
+
+
+SQL_ANN_LSH_RECALL_SAMPLED = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+truth AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM (SELECT * FROM e WHERE vec_id % {RECALL_SAMPLE_MOD} = 0) q
+  JOIN e c ON q.vec_id <> c.vec_id
+  WHERE round(list_dot_product(q.vec, c.vec)
+              / (sqrt(list_dot_product(q.vec, q.vec))
+                 * sqrt(list_dot_product(c.vec, c.vec))), 6)
+        >= {COSINE_THRESHOLD}),
+lsh AS ({SQL_ANN_LSH_PAIRS}),
+approx AS (
+  SELECT id_a AS query_id, id_b AS neighbor_id FROM lsh
+  WHERE id_a % {RECALL_SAMPLE_MOD} = 0
+  UNION ALL
+  SELECT id_b AS query_id, id_a AS neighbor_id FROM lsh
+  WHERE id_b % {RECALL_SAMPLE_MOD} = 0)
+SELECT n_true, n_lsh, n_hit, round(n_hit / n_true, 6) AS recall
+FROM (SELECT
+        (SELECT count(*) FROM truth)::BIGINT AS n_true,
+        (SELECT count(*) FROM approx)::BIGINT AS n_lsh,
+        (SELECT count(*) FROM truth t
+          WHERE EXISTS (SELECT 1 FROM approx a
+                        WHERE a.query_id = t.query_id
+                          AND a.neighbor_id = t.neighbor_id)
         )::BIGINT AS n_hit)
 """
 
@@ -1069,5 +1182,7 @@ QUERIES: dict[str, tuple] = {
     "cosine_near_dup_pairs": (
         q_cosine_near_dup_pairs, SQL_COSINE_NEAR_DUP_PAIRS),
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),
+    "ann_lsh_recall_sampled": (
+        q_ann_lsh_recall_sampled, SQL_ANN_LSH_RECALL_SAMPLED),
     "ivf_ann_recall": (q_ivf_ann_recall, SQL_IVF_ANN_RECALL),
 }

@@ -7,13 +7,19 @@ events/documents/embeddings over the same parquet files.
 
 The driver's correctness gate checks exactly the FIRST ``GATE_WINDOW``
 entries of the dict, in insertion order.  ``GATE_ORDER`` pins that window
-explicitly so adding a query can never silently evict a gated one: the
-round-3 window leads with the 32 entries that had never been
-driver-certified (17 oracle-paired, 12 rows-only, 3 evicted r01 greens),
-then 18 previously-green entries as regression canaries.  Everything
-else — including the two rows-only-by-design entries ``approx_distinct``
-and ``search_stemmed_index`` — sits past the window; unknown newcomers
-are appended at the END (never inside the window).
+explicitly so adding a query can never silently evict a gated one.  The
+round-4 rotation (VERDICT r3 task #1): slots 1–3 are the only entries
+never driver-certified (judge-verified green in r3:
+``cosine_near_dup_pairs`` / ``ann_lsh_recall`` / ``ivf_ann_recall``),
+slot 4 is this round's new ``ann_lsh_recall_sampled``, slots 5–6 are the
+two queries whose plans were rewritten this round (``search_tfidf``,
+``search_boolean``), slots 7–35 re-certify the 29 oracle-paired entries
+whose last green row dates to r01/r02, and the final 15 slots are
+r03-green regression canaries.  Every window entry is oracle-paired this
+round (all 12 rows-only entries were driver-recorded in r03 and now sit
+past the window, as do the two rows-only-by-design entries
+``approx_distinct`` and ``search_stemmed_index``); unknown newcomers are
+appended at the END (never inside the window).
 ``tests/test_registry_gate.py`` enforces these invariants.
 """
 
@@ -23,63 +29,65 @@ from . import core, engine_queries, extras, pipeline, search, streaming_queries
 
 GATE_WINDOW = 50
 
-# First-50 driver window: 32 never/no-longer-certified + 18 canaries.
+# Round-4 first-50 driver window: 3 never-driver-certified + 1 new +
+# 2 rewritten-this-round + 29 oldest-certification (r01/r02 only) +
+# 15 r03-green canaries.  All oracle-paired.
 GATE_ORDER = [
-    # -- 20 oracle-paired entries with no green driver row: 3 evicted
-    #    from the r01 window (simhash_near_pairs/fingerprint/langid) +
-    #    17 never checked ---------------------------------------------
-    "simhash_near_pairs",
-    "fingerprint",
-    "langid",
-    "quality_score",
-    "token_counts",
-    "cosine_topk",
-    "ann_lsh_buckets",
-    "ann_lsh_pairs",
-    "ivf_ann_topk",
-    "array_hof",
-    "udtf_tokenize",
-    "bucketed_colocated_join",
-    "regression_aggs",
-    "grouped_agg_pandas",
-    "scalar_pandas_udf",
-    "grouped_map_normalize",
-    "orc_roundtrip",
-    "unpivot_revenue",
-    "grouped_arrow_stats",
-    "map_in_arrow_doclen",
-    # -- 12 rows-only entries (crawl / image / streaming / sketches) ----
-    "hll_sketch_distinct",
-    "csv_roundtrip",
-    "json_roundtrip",
-    "crawl_log",
-    "crawl_frontier_depth",
-    "crawl_lineage",
-    "pages_payload_verify",
-    "image_feature_extract",
-    "image_resize_thumbs",
-    "streaming_watermark_counts",
-    "streaming_token_bucket",
-    "streaming_icelite_sink",
-    # -- 18 previously-green regression canaries ------------------------
+    # -- the 3 entries no driver round has ever checked ------------------
+    "cosine_near_dup_pairs",
+    "ann_lsh_recall",
+    "ivf_ann_recall",
+    # -- new this round ---------------------------------------------------
+    "ann_lsh_recall_sampled",
+    # -- plans rewritten this round (single-scan token relation) ----------
+    "search_tfidf",
+    "search_boolean",
+    # -- 29 oracle-paired entries whose last green row is r01/r02 ---------
+    "join_orders_customer",
+    "outer_customer_orders",
+    "full_outer_daily_activity",
+    "semi_customers_with_orders",
+    "anti_customers_without_orders",
+    "theta_nation_region",
+    "range_join_value_bins",
+    "count_distinct",
+    "rollup_flag_status",
+    "grouping_sets",
+    "stats_aggregates",
+    "collect_sorted_list",
+    "window_lag_events",
+    "window_running_sum",
+    "window_range_frame",
+    "ntile_customers",
+    "set_ops",
+    "exists_subquery",
+    "string_funcs",
+    "regexp_funcs",
+    "math_funcs",
+    "map_funcs",
+    "tumbling_hourly",
+    "sliding_1h_15m",
+    "search_tokenize_counts",
+    "search_inverted_index",
+    "search_prefix",
+    "minhash_signatures",
+    "simhash",
+    # -- 15 r03-green regression canaries ---------------------------------
     "pricing_summary",
     "predicates",
     "broadcast_part_revenue",
     "asof_purchase_click",
     "salted_skew_join",
     "cube_flag_status",
-    "median_quantity",
-    "window_rank_orders",
-    "topk_orders",
-    "set_ops_all",
-    "pivot_region_revenue",
-    "date_funcs",
-    "json_props",
     "session_windows",
     "search_phrase",
-    "search_tfidf",
     "dedup_exact",
     "lsh_near_dup_pairs",
+    "simhash_near_pairs",
+    "cosine_topk",
+    "ann_lsh_pairs",
+    "ivf_ann_topk",
+    "udtf_tokenize",
 ]
 
 # Rows-only-by-design entries allowed inside the gate window (no DuckDB
@@ -99,15 +107,24 @@ GATE_ROWS_ONLY_OK = {
     "streaming_icelite_sink",
 }
 
+# Import-time invariants raise real exceptions (not asserts, which
+# python -O strips and would leave the driver's gate window unguarded
+# outside pytest — ADVICE r3).
 _ALL: dict[str, tuple] = {}
 for mod in (core, search, pipeline, extras, engine_queries, streaming_queries):
     overlap = _ALL.keys() & mod.QUERIES.keys()
-    assert not overlap, f"duplicate query names: {overlap}"
+    if overlap:
+        raise RuntimeError(f"duplicate query names: {overlap}")
     _ALL.update(mod.QUERIES)
 
 _missing = [k for k in GATE_ORDER if k not in _ALL]
-assert not _missing, f"GATE_ORDER names unknown queries: {_missing}"
-assert len(GATE_ORDER) == len(set(GATE_ORDER)) == GATE_WINDOW
+if _missing:
+    raise RuntimeError(f"GATE_ORDER names unknown queries: {_missing}")
+if not (len(GATE_ORDER) == len(set(GATE_ORDER)) == GATE_WINDOW):
+    raise RuntimeError(
+        f"GATE_ORDER must hold exactly {GATE_WINDOW} unique names, got "
+        f"{len(GATE_ORDER)} ({len(set(GATE_ORDER))} unique)"
+    )
 
 QUERIES: dict[str, tuple] = {k: _ALL[k] for k in GATE_ORDER}
 QUERIES.update((k, v) for k, v in _ALL.items() if k not in QUERIES)

@@ -46,6 +46,9 @@ def _chunk_frames(spark: SparkSession, sf: str) -> list[pd.DataFrame]:
     key = (sf, "chunks")
     if key in _cache:
         return _cache[key]  # type: ignore[return-value]
+    # driver collection bound: the whole demo events table — 15k rows at
+    # sf0.01, ~150k at sf0.1 (a few MB); safe only because this replay
+    # source is capped at demo scale by design (see module docstring)
     ev = (
         spark.read.parquet(f"{sf}/events.parquet")
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -99,7 +102,9 @@ def q_streaming_watermark_counts(spark: SparkSession, sf: str) -> DataFrame:
         )
         # cache the materialized result and drop the work dir (source
         # replay + sink + checkpoint) — tmpfs-backed /tmp otherwise
-        # accumulates a full events copy per process
+        # accumulates a full events copy per process.  Driver collection
+        # bound: the windowed AGGREGATE (hour x event_type ≈ thousands
+        # of rows), never the raw events
         _cache[key] = spark.read.parquet(out).toPandas()
         shutil.rmtree(work, ignore_errors=True)
     return (
@@ -122,6 +127,9 @@ def q_streaming_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
 
         def run(df, out, ck, i):
             def sink(batch_df: DataFrame, epoch_id: int) -> None:
+                # driver collection bound: one micro-batch of per-user
+                # bucket STATE rows (≤ distinct user_ids ≈ 150 at
+                # sf0.01) — never raw events
                 pdf = batch_df.toPandas()
                 pdf["chunk"] = i
                 frames.append(pdf)

@@ -78,6 +78,12 @@ def uri_to_rel(uri: str, root: str) -> str:
     from the raw manifest path — naive suffix matching then fails
     silently and misclassifies every touched file as untouched (rows
     re-admitted next wave).  Decode the URI first, then relativize.
+
+    Both sides go through ``os.path.realpath``: on a symlinked catalog
+    root (e.g. /tmp -> /private/tmp) the JVM reports RESOLVED paths, so
+    relativizing against the unresolved root would put every touched
+    file in the caller's unmatched set and abort the wave (fail-loud
+    but environment-sensitive — ADVICE r3).
     """
     from urllib.parse import unquote, urlparse
 
@@ -85,7 +91,8 @@ def uri_to_rel(uri: str, root: str) -> str:
         path = unquote(urlparse(uri).path)
     else:
         path = uri
-    return os.path.relpath(path, os.path.abspath(root))
+    return os.path.relpath(
+        os.path.realpath(path), os.path.realpath(os.path.abspath(root)))
 
 
 def _file_stats(full_path: str) -> tuple[int, dict[str, list]]:
