@@ -58,7 +58,11 @@ def make_spark(cores: int):
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"bench-{cores}")
-        .config("spark.sql.shuffle.partitions", str(max(8, cores)))
+        # 4x cores: the crawl's multi-million-row shuffles (candidate
+        # dedup window, backstop joins) need finer grains than one
+        # partition per core for tail balance; AQE coalesces the small
+        # ones back, so queries with tiny shuffles pay nothing
+        .config("spark.sql.shuffle.partitions", str(max(32, cores * 4)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
@@ -100,7 +104,7 @@ def bench_crawl(spark, cores: int) -> dict:
     # at smaller waves the ~25-stage barrier constant swamps the signal
     cfg = EngineConfig(
         n_seeds=320_000, n_waves=3, n_buckets=64, n_hosts=2000,
-        bloom_shards=8, seed_spread_hosts=2000, budget_scale=4096.0,
+        bloom_shards=32, seed_spread_hosts=2000, budget_scale=4096.0,
     )
     # tmpfs catalog root: the bench measures ENGINE scaling; a single
     # VM disk is a non-scaling resource a real cluster does not have

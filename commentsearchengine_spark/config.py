@@ -22,7 +22,11 @@ class EngineConfig:
     n_hosts: int = synth.N_HOSTS
     # bloom pre-filter (op B1/B2); exactness is guaranteed by B3 regardless
     bloom_shards: int = 16
-    bloom_nbits: int = 1 << 20   # bits per shard
+    # INITIAL bits per shard — the live size is snapshot state: the wave
+    # loop grows it (power-of-two rebuilds from the discovered set) when
+    # the projected fill crosses bloom.FILL_TARGET, so a long crawl's
+    # filter tracks its frontier instead of saturating (plan-only knob)
+    bloom_nbits: int = 1 << 20
     bloom_k: int = 5
     # probe strategy switch (operators/bloom.py): filters up to this total
     # size broadcast to workers (shuffle-free probe); larger ones cogroup
@@ -65,7 +69,7 @@ class EngineConfig:
 
     _PLAN_ONLY = ("n_waves", "admission_head_factor", "write_rows_per_file",
                   "backstop_broadcast_max_rows", "salt_factor",
-                  "salt_factor_max")
+                  "salt_factor_max", "bloom_nbits")
 
     def config_hash(self) -> str:
         """Hash of the semantics-affecting parameters.  ``n_waves`` is a

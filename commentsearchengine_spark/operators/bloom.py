@@ -32,6 +32,28 @@ from pyspark.sql.types import BooleanType, StructField, StructType
 from .. import schemas
 from ..config import EngineConfig
 
+# saturation budget: rebuild before the fill fraction passes this.  At
+# fill 0.25 and k=5 the FPR is 0.25^5 ≈ 1e-3, so the exact backstop's
+# "maybe" set stays ~0.1% of the candidates — always broadcastable.
+FILL_TARGET = 0.25
+# fill = 1 - exp(-inserts/nbits) <= FILL_TARGET  <=>  inserts/nbits <= this
+_INSERTS_PER_BIT = 0.2877  # -ln(1 - FILL_TARGET)
+
+
+def sized_nbits(n_keys: int, cfg: EngineConfig, floor_nbits: int) -> int:
+    """Per-shard bitmap size (power of two) that keeps the filter under
+    FILL_TARGET after ``n_keys`` distinct keys — the self-sizing rule
+    that lets the bloom GROW with the discovered set instead of
+    saturating (a fixed bitmap's FPR → 1 as a 10^10-URL crawl
+    progresses, silently sending every wave down the exact backstop).
+    Never shrinks below ``floor_nbits``."""
+    inserts_per_shard = n_keys * cfg.bloom_k / max(1, cfg.bloom_shards)
+    need = inserts_per_shard / _INSERTS_PER_BIT
+    nbits = max(floor_nbits, cfg.bloom_nbits)
+    while nbits < need:
+        nbits *= 2
+    return nbits
+
 
 def shard_col(url_hash_col, n_shards: int):
     return F.pmod(url_hash_col, F.lit(n_shards)).cast("int")
@@ -66,11 +88,16 @@ def _positions(url_hashes: np.ndarray, nbits: int, k: int) -> np.ndarray:
 
 
 def build_shards(new_urls: DataFrame, shards: DataFrame,
-                 cfg: EngineConfig) -> DataFrame:
+                 cfg: EngineConfig, nbits: int | None = None) -> DataFrame:
     """OR the url_hashes of ``new_urls`` into the existing shard bitmaps
     (op B1).  Shards with no new rows pass through unchanged; new shards
-    start from a zero bitmap."""
-    nbits, k, n_shards = cfg.bloom_nbits, cfg.bloom_k, cfg.bloom_shards
+    start from a zero bitmap.  ``nbits`` overrides the configured bitmap
+    size (the wave loop passes the snapshot's CURRENT size, which grows
+    via ``sized_nbits`` rebuilds); merging into ``shards`` built at a
+    different size would corrupt bit positions — callers rebuild from
+    scratch (empty ``shards``) when the size changes."""
+    k, n_shards = cfg.bloom_k, cfg.bloom_shards
+    nbits = cfg.bloom_nbits if nbits is None else nbits
     left = new_urls.select(
         shard_col(F.col("url_hash"), n_shards).alias("shard"), "url_hash")
 
@@ -107,7 +134,8 @@ def _check_bits(bits: np.ndarray, url_hashes: np.ndarray, nbits: int,
 
 
 def probe(candidates: DataFrame, shards: DataFrame,
-          cfg: EngineConfig, broadcasts: list | None = None) -> DataFrame:
+          cfg: EngineConfig, broadcasts: list | None = None,
+          nbits: int | None = None) -> DataFrame:
     """Op B2 — adds boolean ``maybe_seen``.  False ⇒ definitely new
     (bloom has no false negatives); True ⇒ must be checked exactly (B3).
 
@@ -125,8 +153,14 @@ def probe(candidates: DataFrame, shards: DataFrame,
     The broadcast path appends its Broadcast handle to ``broadcasts``
     (if given) for the caller to release_broadcasts() once its jobs
     finish; with no list the handle is left to ContextCleaner GC.
+
+    ``nbits`` must match what the shard bitmaps were BUILT with (the
+    wave loop passes the snapshot state's value); a mismatch would
+    compute wrong bit positions and produce false negatives — the one
+    failure mode bloom must never have.
     """
-    nbits, k, n_shards = cfg.bloom_nbits, cfg.bloom_k, cfg.bloom_shards
+    k, n_shards = cfg.bloom_k, cfg.bloom_shards
+    nbits = cfg.bloom_nbits if nbits is None else nbits
     total_bytes = n_shards * (nbits // 8)
     out_schema = StructType(
         candidates.schema.fields + [StructField("maybe_seen", BooleanType())])

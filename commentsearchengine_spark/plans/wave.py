@@ -29,10 +29,12 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions 
 
 # On-disk layout contract this code reads and writes: 2 = discovered-URL
 # bloom (frontier ∪ seen), hosts.frontier_rows backlog column,
-# priority-tiered frontier files, fetch-log columns in pages.  A catalog
-# written by an older layout (bloom over seen only, no backlog column)
-# would silently violate the fresh-path invariant on resume — refuse it.
-LAYOUT_VERSION = 2
+# priority-tiered frontier files, fetch-log columns in pages; 3 = the
+# bloom bitmap size lives in snapshot state (``bloom_nbits``) and grows
+# via saturation-triggered rebuilds.  A catalog written by an older
+# layout would be probed at the wrong bitmap size on resume — false
+# negatives, silent dedup corruption — refuse it.
+LAYOUT_VERSION = 3
 
 
 # Σ over hosts of next wave's admissible rows — observed as a free
@@ -157,16 +159,20 @@ def bootstrap(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> int:
     # bloom covers DISCOVERED URLs (frontier ∪ seen): every URL entering
     # the frontier is inserted at discovery, so later waves' probes have
     # no false negatives against frontier membership either — fresh
-    # candidates skip the exact frontier anti-join, not just seen's
+    # candidates skip the exact frontier anti-join, not just seen's.
+    # Initial bitmap size comes from the seed count (upper bound on
+    # wave-0 keys); waves grow it as the discovered set grows.
+    nbits0 = bloom.sized_nbits(cfg.n_seeds, cfg, cfg.bloom_nbits)
     empty_shards = spark.createDataFrame([], schemas.BLOOM_SHARDS)
-    shards0 = bloom.build_shards(frontier, empty_shards, cfg)
+    shards0 = bloom.build_shards(frontier, empty_shards, cfg, nbits=nbits0)
 
     from concurrent.futures import ThreadPoolExecutor
 
     boot_obs = Observation()
+    boot_par = max(4, spark.sparkContext.defaultParallelism)
     boot_writes = [
         ("robots", robots, "overwrite"),
-        ("frontier", frontier.repartition(4, "host"), "overwrite"),
+        ("frontier", frontier.repartition(boot_par, "host"), "overwrite"),
         ("hosts", hosts.observe(boot_obs, _want_expr()), "overwrite"),
         ("lineage", lineage, "overwrite"),
         ("bloom_shards", shards0, "overwrite"),
@@ -181,6 +187,7 @@ def bootstrap(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> int:
         wave=0,
         state={"global_seq": 0, "config_hash": cfg.config_hash(),
                "layout_version": LAYOUT_VERSION,
+               "bloom_nbits": nbits0,
                "next_admission_want": int(boot_obs.get["next_want"] or 0)},
         metrics={"seeds": cfg.n_seeds},
     )
@@ -240,8 +247,15 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     wave = snap.wave + 1
     base = int(snap.state["global_seq"])
     nb = cfg.n_buckets
+    par = spark.sparkContext.defaultParallelism
 
-    def parts_for(n: int, floor_parts: int = 1) -> int:
+    def parts_for(n: int, floor_parts: int | None = None) -> int:
+        # floor at the cluster parallelism: a 3.6M-row write at the old
+        # rows-per-file-only sizing was 4 tasks on 32 cores (measured —
+        # the whole writes phase scaled 8->32 at 1.09x); the floor costs
+        # nothing at 10^10 scale where rows/size dominates anyway
+        if floor_parts is None:
+            floor_parts = par
         return max(floor_parts, min(1024, n // cfg.write_rows_per_file + 1))
 
     hosts = cat.scan(spark, "hosts", schema_ddl=schemas.HOSTS)
@@ -312,16 +326,16 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
             "JVM resolved differently, see icelite.uri_to_rel — or a "
             f"concurrent commit): {sorted(unmatched)[:5]}")
 
-    def write_tiered(df: DataFrame, n_rows: int) -> None:
+    def write_tiered(df: DataFrame, n_rows: int) -> list[dict]:
         """One directory PER PRIORITY VALUE (partitionBy on a duplicated
         tier column — value-exact, no range sampling): every file's
         [min,max] priority collapses to a point, so manifest pruning and
         the carry-forward split stay sharp even when a wave writes only
-        a handful of rows per tier."""
+        a handful of rows per tier.  Returns the new manifest entries."""
         # round-robin repartition (NOT keyed on priority — that would
         # funnel each tier through a single task); every task then fans
         # its rows into the per-tier directories
-        cat.stage_write(
+        return cat.stage_write(
             df.withColumn("_tier", F.col("priority"))
             .repartition(parts_for(n_rows)),
             "frontier", mode="stage-append", partition_cols=["_tier"])
@@ -376,7 +390,6 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     # outlink log included — and the expansion re-reads only the slim
     # outlink columns from the just-written parquet (columnar pruning
     # never touches the bytes column).
-    par = spark.sparkContext.defaultParallelism
     # P0b, adaptive (VERDICT r3 task #6): the salt fan-out per host is
     # derived from that host's MEASURED admitted count, not a fixed
     # knob.  target_rows = an eighth of an even partition share, so even
@@ -452,8 +465,9 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     # persist the probed set: BOTH branches below (fresh + maybe) and
     # the backstop broadcasts read it, and without the cache the D1
     # window + probe UDF would re-run once per consumer.
-    probed = bloom.probe(uniq, shards, cfg,
-                         broadcasts=wave_broadcasts).persist()
+    nbits_cur = int(snap.state.get("bloom_nbits", cfg.bloom_nbits))
+    probed = bloom.probe(uniq, shards, cfg, broadcasts=wave_broadcasts,
+                         nbits=nbits_cur).persist()
     wave_persists.append(probed)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
@@ -497,11 +511,8 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
             seen_updated.select("canon_url"), "canon_url", "left_anti"
         ).join(
             frontier_full.select("canon_url"), "canon_url", "left_anti")
-    new_entries = fresh.unionByName(surviving_maybe).select(
-        *FRONTIER_COLS).persist()
-    wave_persists.append(new_entries)
-    # NO count barrier on new_entries itself: its consumers materialize
-    # the persisted relation on first touch, write sizing uses the
+    new_entries = fresh.unionByName(surviving_maybe).select(*FRONTIER_COLS)
+    # NO count barrier on new_entries: write sizing uses the
     # within-wave-unique bound (n_new ≤ n_uniq exactly: new_entries =
     # fresh ∪ surviving_maybe ⊆ uniq), and the EXACT count arrives free
     # via an Observation riding the frontier write (metrics read it
@@ -511,11 +522,74 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     _mark("expand", tick)
     raise_failed_early_writes()
 
+    # ---- frontier-new write FIRST; everything else re-reads its files ----
+    # new_entries feeds FOUR writers (frontier, bloom, hosts credit,
+    # lineage).  A persisted-cache fan-out made the concurrent write
+    # jobs race to materialize the same partitions (measured: all four
+    # writes finishing in lock-step at 22-23 s in a wave whose columns
+    # sum to a fraction of that).  Instead the ONE write that needs the
+    # full rows computes the expansion exactly once, and the other
+    # three derive from its just-written parquet — the same
+    # write-once/re-read-slim pattern the fetch stage uses for pages.
+    write_secs: dict[str, float] = {}
+
+    def timed(name: str, fn, *args):
+        def run():
+            w0 = time.monotonic()
+            try:
+                return fn(*args)
+            finally:
+                write_secs[name] = round(time.monotonic() - w0, 3)
+        return run
+
+    # the frontier staged list must already hold carried + rewritten
+    # entries before this stage-append (stage_entries replaces)
+    early_futs["frontier_base"].result()
+    if n_new_bound > 0:
+        new_files = timed("frontier_new", write_tiered,
+                          new_entries.observe(
+                              new_obs, F.count(F.lit(1)).alias("n")),
+                          n_new_bound)()
+        new_read = cat.scan_entries(spark, new_files, schemas.FRONTIER)
+    else:
+        # quiet wave (every candidate deduped/blocked): skip the empty
+        # Spark write whose only product would be the Observation count
+        # — new_entries ⊆ uniq, so n_uniq == 0 proves n_new == 0
+        new_read = spark.createDataFrame([], schemas.FRONTIER)
+
     # ---- B1: new discoveries enter the bloom ------------------------------
-    shards_updated = bloom.build_shards(new_entries, shards, cfg)
+    # self-sizing (round 4): a fixed bitmap saturates as the crawl
+    # discovers — the r3 bench filled 8.4M bits with 3.4M keys x k=5 by
+    # wave 3 (fill 0.87, FPR ~0.5), silently dumping ~1.8M "maybe" rows
+    # into the full frontier+seen shuffle backstop every later wave.
+    # The discovered count is exact and free: frontier ∪ seen partitions
+    # the discovered set, so parent row_counts + this wave's unique
+    # candidates bound it.  When the projected fill crosses
+    # bloom.FILL_TARGET, rebuild at the next power of two from the key
+    # column of frontier ∪ seen ∪ new (one slim columnar pass, amortized
+    # O(discovered) per doubling — the classic growth argument).
+    prev_keys = int(snap.row_counts.get("frontier", 0)) + int(
+        snap.row_counts.get("seen", 0))
+    if bloom.sized_nbits(prev_keys + n_uniq, cfg, nbits_cur) > nbits_cur:
+        # rebuild with 4x headroom so growth costs one rebuild every ~2
+        # doublings of the discovered set, not one per wave
+        nbits_next = bloom.sized_nbits(
+            (prev_keys + n_uniq) * 4, cfg, nbits_cur)
+        all_keys = (
+            seen_updated.select("url_hash")
+            .unionByName(frontier_full.select("url_hash"))
+            .unionByName(new_read.select("url_hash"))
+        )
+        shards_updated = bloom.build_shards(
+            all_keys, spark.createDataFrame([], schemas.BLOOM_SHARDS),
+            cfg, nbits=nbits_next)
+    else:
+        nbits_next = nbits_cur
+        shards_updated = bloom.build_shards(
+            new_read, shards, cfg, nbits=nbits_cur)
 
     # ---- hosts: tokens updated above; credit new backlog ------------------
-    new_counts = new_entries.groupBy("host").agg(
+    new_counts = new_read.groupBy("host").agg(
         F.count("*").alias("add_rows"))
     hosts_credited = (
         hosts_updated.join(new_counts, "host", "left")
@@ -540,7 +614,7 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
         {
             "admitted": admitted,
             "allowed": allowed,
-            "queued": new_entries,
+            "queued": new_read,
             "robots_blocked": blocked,
         },
     ).drop("politeness_deferred")
@@ -589,26 +663,11 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
         ("bloom_shards", shards_updated, "overwrite"),
     ]
 
-    def write_frontier_new() -> None:
-        # the frontier staged list must already hold carried + rewritten
-        # entries before this stage-append (stage_entries replaces)
-        early_futs["frontier_base"].result()
-        if n_new_bound == 0:
-            # quiet wave (every candidate deduped/blocked): skip the
-            # empty Spark write whose only product would be the
-            # Observation count — new_entries ⊆ uniq, so n_uniq == 0
-            # proves n_new == 0 (ADVICE r3)
-            return
-        write_tiered(
-            new_entries.observe(new_obs, F.count(F.lit(1)).alias("n")),
-            n_new_bound)
-
-    with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
         futs = {
-            name: pool.submit(cat.stage_write, df, name, mode)
+            name: pool.submit(timed(name, cat.stage_write, df, name, mode))
             for name, df, mode in writes
         }
-        futs["frontier"] = pool.submit(write_frontier_new)
         for name, fut in futs.items():
             fut.result()
         for name, fut in early_futs.items():
@@ -626,12 +685,15 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
         "wall_sec": round(wall, 3),
         "urls_per_sec": round(n_admitted / wall, 2) if wall > 0 else None,
         "phases": timings,
+        "write_secs": write_secs,
+        "bloom_nbits": nbits_next,
     }
     cat.commit(
         wave=wave,
         state={"global_seq": base + n_admitted,
                "config_hash": cfg.config_hash(),
                "layout_version": LAYOUT_VERSION,
+               "bloom_nbits": nbits_next,
                "next_admission_want": int(want_obs.get["next_want"] or 0)},
         metrics=metrics)
 

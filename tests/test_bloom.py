@@ -82,3 +82,45 @@ def test_incremental_build_merges(spark):
     assert bloom.probe(both, s2, cfg).filter(~F.col("maybe_seen")).count() == 0
     s1.unpersist()
     s2.unpersist()
+
+
+def test_sized_nbits_growth_rule():
+    """Power-of-two growth, never below floor, fill stays under target."""
+    cfg = EngineConfig(bloom_shards=4, bloom_nbits=1 << 10, bloom_k=5)
+    assert bloom.sized_nbits(10, cfg, 1 << 10) == 1 << 10  # floor holds
+    big = bloom.sized_nbits(1_000_000, cfg, 1 << 10)
+    assert big > 1 << 10 and (big & (big - 1)) == 0  # grew, power of two
+    # the chosen size actually satisfies the fill budget
+    inserts_per_shard = 1_000_000 * cfg.bloom_k / cfg.bloom_shards
+    assert 1 - math.exp(-inserts_per_shard / big) <= bloom.FILL_TARGET
+    # never shrinks below the current live size
+    assert bloom.sized_nbits(10, cfg, 1 << 20) == 1 << 20
+
+
+def test_rebuild_at_larger_nbits_no_false_negatives(spark):
+    """The wave loop's saturation rebuild: same keys re-inserted into a
+    doubled bitmap keep zero false negatives, and the rebuilt filter's
+    FPR drops below the saturated one's."""
+    cfg = EngineConfig(bloom_shards=2, bloom_nbits=1 << 10, bloom_k=5)
+    n = 2000  # 2k keys x 5 into 2x1024 bits => saturated (fill ~0.99)
+    inserted = _urls(spark, "in", n)
+    empty = spark.createDataFrame([], S.BLOOM_SHARDS)
+    small = bloom.build_shards(inserted, empty, cfg)
+    small.persist().count()
+    grown_nbits = bloom.sized_nbits(n, cfg, cfg.bloom_nbits)
+    assert grown_nbits > cfg.bloom_nbits
+    big = bloom.build_shards(inserted, empty, cfg, nbits=grown_nbits)
+    big.persist().count()
+    novel = _urls(spark, "out", 2000)
+
+    def fp_rate(shards, nbits):
+        hits = bloom.probe(novel, shards, cfg, nbits=nbits).filter(
+            F.col("maybe_seen")).count()
+        return hits / 2000
+
+    # no false negatives at the grown size
+    assert bloom.probe(inserted, big, cfg, nbits=grown_nbits).filter(
+        ~F.col("maybe_seen")).count() == 0
+    assert fp_rate(big, grown_nbits) < 0.05 < fp_rate(small, cfg.bloom_nbits)
+    small.unpersist()
+    big.unpersist()
