@@ -85,7 +85,7 @@ def bench_queries(spark) -> dict[str, float]:
     return out
 
 
-def bench_crawl(spark, cores: int) -> dict:
+def bench_crawl(spark, cores: int, reps: int = 2) -> dict:
     """Full engine run: throughput = admitted URLs / total wall.
 
     Bench-sized politeness budgets (spread seeds + budget_scale) make
@@ -112,7 +112,7 @@ def bench_crawl(spark, cores: int) -> dict:
     # the 32-core wall at the old size was /tmp parquet IO
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     walls, admitted = [], 0
-    for _rep in range(2):  # best of 2: VM steal/noise varies run to run
+    for _rep in range(reps):  # best of N: VM steal/noise varies run to run
         root = tempfile.mkdtemp(prefix="bench_crawl_", dir=base)
         try:
             t0 = time.monotonic()
@@ -182,9 +182,18 @@ def fetch_job(spark, n_urls: int, cores: int) -> float:
     return wall
 
 
+def read_steal() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — the hypervisor
+    steal share during a measurement window is (Δsteal / Δtotal)."""
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:9]))
+    return v[7], sum(v)
+
+
 def worker(cores: int, with_queries: bool, with_crawl: bool,
-           fetch_reps: int) -> None:
+           fetch_reps: int, crawl_reps: int = 2) -> None:
     """One pinned measurement at local[cores]; prints a JSON line."""
+    s0, t0 = read_steal()
     out: dict = {"cores": cores, "affinity": len(os.sched_getaffinity(0))}
     spark = make_spark(cores)
     if with_queries:
@@ -198,19 +207,24 @@ def worker(cores: int, with_queries: bool, with_crawl: bool,
         # fresh session: cached blocks / shuffle files / heap garbage from
         # the query+fetch phases measurably slow a shared-session crawl
         spark = make_spark(cores)
-        out["crawl"] = bench_crawl(spark, cores)
+        out["crawl"] = bench_crawl(spark, cores, reps=crawl_reps)
         spark.stop()
+    s1, t1 = read_steal()
+    # whole-machine steal share over this worker's window (VERDICT r3
+    # task #5: quantify the steal gap next to every official number)
+    out["steal_pct"] = round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
     print("WORKER_RESULT " + json.dumps(out), flush=True)
 
 
 def run_pinned(cores: int, with_queries: bool = False,
-               with_crawl: bool = True, fetch_reps: int = 2) -> dict:
+               with_crawl: bool = True, fetch_reps: int = 2,
+               crawl_reps: int = 2) -> dict:
     import subprocess
 
     cmd = [
         "taskset", "-c", f"0-{cores - 1}", sys.executable,
         os.path.abspath(__file__), "--worker", str(cores),
-        "--fetch-reps", str(fetch_reps),
+        "--fetch-reps", str(fetch_reps), "--crawl-reps", str(crawl_reps),
     ]
     if with_queries:
         cmd.append("--queries")
@@ -230,9 +244,15 @@ def main() -> None:
     t_all = time.monotonic()
     small = max(1, CPUS // 4)
     tiny = max(1, CPUS // 16)
-    big = run_pinned(CPUS, with_queries=True, fetch_reps=3)
-    little = run_pinned(small, fetch_reps=3)
-    tiny_r = run_pinned(tiny, with_crawl=False, fetch_reps=2)
+    # rep counts per rung: this VM shows minutes-long hypervisor-steal
+    # windows and 1.5-2x run variance; a rung measured with too few
+    # repetitions can land entirely inside one bad window (a round-4 run
+    # recorded the 8-core fetch at 18k vs 23-29k everywhere else, which
+    # read as eta(N->4N)=0.55 purely from measurement).  More reps per
+    # rung -> min-wall sees past the noise.
+    big = run_pinned(CPUS, with_queries=True, fetch_reps=3, crawl_reps=3)
+    little = run_pinned(small, fetch_reps=6, crawl_reps=3)
+    tiny_r = run_pinned(tiny, with_crawl=False, fetch_reps=5)
 
     def eff(hi, lo, ratio):
         return round((hi / lo) / ratio, 3)
@@ -257,6 +277,11 @@ def main() -> None:
         "crawl_efficiency": eff(
             big["crawl"]["urls_per_sec"], little["crawl"]["urls_per_sec"],
             CPUS / small),
+        "steal_pct_by_level": {
+            str(CPUS): big.get("steal_pct"),
+            str(small): little.get("steal_pct"),
+            str(tiny): tiny_r.get("steal_pct"),
+        },
     }
     total = round(time.monotonic() - t_all, 2)
     print(
@@ -278,11 +303,14 @@ if __name__ == "__main__":
     if "--worker" in sys.argv:
         reps = (int(sys.argv[sys.argv.index("--fetch-reps") + 1])
                 if "--fetch-reps" in sys.argv else 1)
+        crawl_reps = (int(sys.argv[sys.argv.index("--crawl-reps") + 1])
+                      if "--crawl-reps" in sys.argv else 2)
         worker(
             int(sys.argv[sys.argv.index("--worker") + 1]),
             "--queries" in sys.argv,
             "--crawl" in sys.argv,
             reps,
+            crawl_reps,
         )
     else:
         main()
