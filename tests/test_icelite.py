@@ -97,3 +97,26 @@ def test_empty_table_scan_uses_schema(spark, root):
     df = cat.scan(spark, "missing", schema_ddl="a int, b string")
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["a", "b"]
+
+
+def test_uri_to_rel_decodes_and_resolves_symlinks(tmp_path):
+    """input_file_name() URIs are URL-encoded and (on symlinked roots,
+    e.g. /tmp -> /private/tmp) may come back RESOLVED from the JVM;
+    uri_to_rel must land on the manifest's root-relative path in every
+    combination (ADVICE r3)."""
+    from commentsearchengine_spark.sources.icelite import uri_to_rel
+
+    real = tmp_path / "real root"  # space forces percent-encoding
+    (real / "data" / "t").mkdir(parents=True)
+    f = real / "data" / "t" / "part-0.parquet"
+    f.write_bytes(b"x")
+    link = tmp_path / "link"
+    link.symlink_to(real, target_is_directory=True)
+
+    expected = os.path.join("data", "t", "part-0.parquet")
+    resolved_uri = "file://" + str(f).replace(" ", "%20")
+    link_uri = "file://" + str(link / "data" / "t" / "part-0.parquet").replace(
+        " ", "%20")
+    for uri in (resolved_uri, link_uri, str(f)):
+        for root in (str(real), str(link)):
+            assert uri_to_rel(uri, root) == expected, (uri, root)

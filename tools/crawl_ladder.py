@@ -38,7 +38,7 @@ def main(cores: int, reps: int) -> None:
     spark = bench.make_spark(cores)
     cfg = EngineConfig(
         n_seeds=320_000, n_waves=3, n_buckets=64, n_hosts=2000,
-        bloom_shards=8, seed_spread_hosts=2000, budget_scale=4096.0,
+        bloom_shards=32, seed_spread_hosts=2000, budget_scale=4096.0,
     )
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     results = []
