@@ -111,6 +111,76 @@ FROM documents GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# n-gram Jaccard near-dup (first-class, not just the LSH verify step)
+# --------------------------------------------------------------------------
+
+NGRAM_JACCARD_THRESHOLD = 0.2
+NGRAM_SAMPLE_MOD = 25
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs for a deterministic
+    query stratum (doc_id % NGRAM_SAMPLE_MOD == 0): J(q, n) =
+    |shingles(q) ∩ shingles(n)| / |shingles(q) ∪ shingles(n)| ≥ 0.2.
+
+    The brief lists n-gram Jaccard as its own dedup primitive; inside
+    `lsh_near_dup_pairs` it only verifies MinHash candidates.  Here it
+    is first-class with the scale shape of the sampled monitors:
+    broadcast the |S| = n/25 query shingle sets and stream the corpus
+    once — O(n·s) exact comparisons, no all-pairs join.  For full-corpus
+    near-dup at 100 TB the MinHash-LSH path remains the production plan
+    (same shingles, banded candidates, this measure as the verify)."""
+    (docs,) = load(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    sh = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(size(_toks) - 2, 0)),"
+            " i -> concat_ws(' ', _toks[i-1], _toks[i], _toks[i+1]))"
+        )
+    )
+    shingled = docs.withColumn("_toks", toks).select(
+        "doc_id", sh.alias("sh"))
+    queries = shingled.filter(
+        F.col("doc_id") % NGRAM_SAMPLE_MOD == 0
+    ).select(F.col("doc_id").alias("query_doc"), F.col("sh").alias("qsh"))
+    corpus = shingled.select(
+        F.col("doc_id").alias("neighbor_doc"), F.col("sh").alias("nsh"))
+    union_size = F.size(F.array_union("qsh", "nsh"))
+    j = F.size(F.array_intersect("qsh", "nsh")) / union_size
+    return (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_doc") != F.col("neighbor_doc"))
+        .filter(union_size > 0)
+        .withColumn("jaccard", F.round(j, 6))
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+        .select("query_doc", "neighbor_doc", "jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(arr) - 2, 0)),
+           i -> arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3])) AS s
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS arr
+        FROM documents)),
+q AS (SELECT doc_id AS query_doc, s AS qs FROM sh
+      WHERE doc_id % {NGRAM_SAMPLE_MOD} = 0)
+SELECT query_doc, neighbor_doc, jaccard FROM (
+  SELECT q.query_doc, sh.doc_id AS neighbor_doc,
+         round(len(list_intersect(q.qs, sh.s))::DOUBLE
+               / len(list_distinct(list_concat(q.qs, sh.s))), 6) AS jaccard
+  FROM q JOIN sh ON q.query_doc <> sh.doc_id
+  WHERE len(list_distinct(list_concat(q.qs, sh.s))) > 0)
+WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------
 
@@ -1166,6 +1236,7 @@ FROM (SELECT
 
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_near_dup_pairs": (q_lsh_near_dup_pairs, SQL_LSH_NEAR_DUP_PAIRS),
     "simhash": (q_simhash, SQL_SIMHASH),
