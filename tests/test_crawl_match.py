@@ -135,3 +135,37 @@ def test_payload_invariants(spark):
                 assert np.array_equal(orig, dec)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_exact_match_fully_throttled(spark):
+    """budget_scale so small that floor(tokens) is 0 for EVERY host —
+    four consecutive zero-admitted waves (empty fetch, empty expansion,
+    quiet-wave frontier-write skip, Observation never read) leave the
+    engine byte-identical to the oracle: empty crawl_log/seen, the
+    seed frontier intact."""
+    cfg = EngineConfig(n_seeds=8, n_waves=4, n_buckets=16,
+                       budget_scale=0.11)
+    cat, root = _run_engine(spark, cfg)
+    try:
+        o = run_oracle(8, 4, 16, cfg.n_hosts, budget_scale=0.11)
+        assert not o.crawl_log  # the fixture really is fully throttled
+        _assert_match(spark, cat, o)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_exact_match_mixed_throttle(spark):
+    """Spread seeds over hosts with different capacities at a tiny
+    budget scale: some hosts admit a trickle, others are throttled to
+    zero every wave — the oracle parity must hold through the mixed
+    admit/defer algebra (19 admissions over 4 waves in this fixture)."""
+    cfg = EngineConfig(n_seeds=8, n_waves=4, n_buckets=16,
+                       seed_spread_hosts=6, budget_scale=0.11)
+    cat, root = _run_engine(spark, cfg)
+    try:
+        o = run_oracle(8, 4, 16, cfg.n_hosts,
+                       seed_spread_hosts=6, budget_scale=0.11)
+        assert o.crawl_log and len(o.crawl_log) < 8 * 4
+        _assert_match(spark, cat, o)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
