@@ -63,8 +63,16 @@ def choose_cut(entries: list[dict], want_rows: int) -> int | None:
 def admit_pruned(spark, cat, hosts: DataFrame, schema_ddl: str,
                  head_factor: int = 4,
                  persists: list | None = None,
-                 want: int | None = None) -> DataFrame:
+                 want: int | None = None,
+                 entries: list[dict] | None = None) -> DataFrame:
     """Q1 with manifest pruning: rank only the frontier's plausible head.
+
+    ``entries`` overrides the frontier file list (manifest entries with
+    per-file stats).  The default reads the CURRENT committed snapshot;
+    the wave loop's overlapped next-wave admission passes the STAGED
+    list instead (icelite.Catalog.staged_entries) — identical files to
+    what the imminent commit pins, so the result is bit-identical to
+    running after the commit.
 
     Pass 1 scans just the frontier files whose min priority lies under a
     cut chosen to cover ``head_factor`` x the wave's total admission
@@ -99,12 +107,15 @@ def admit_pruned(spark, cat, hosts: DataFrame, schema_ddl: str,
         want = budgets.agg(
             F.coalesce(F.sum("need"), F.lit(0)).cast("long")
         ).collect()[0][0]
-    entries = cat.table_files("frontier")
+    from ..sources.icelite import _may_match
+
+    if entries is None:
+        entries = cat.table_files("frontier")
     cut = choose_cut(entries, int(want) * head_factor)
     w = Window.partitionBy("host").orderBy(*[F.col(c) for c in ORDER_COLS])
 
     if cut is not None and len(
-        cat.table_files("frontier", where=[("priority", "<=", cut)])
+        [e for e in entries if _may_match(e, [("priority", "<=", cut)])]
     ) == len(entries):
         # the cut excludes nothing (budgets reach deep into every tier,
         # or the frontier is shallow): the coverage-check machinery
@@ -113,8 +124,10 @@ def admit_pruned(spark, cat, hosts: DataFrame, schema_ddl: str,
     # every admitted row remembers its source data file so the caller's
     # carry-forward commit can rewrite EXACTLY the files that lost rows
     # (file-precise, not a conservative priority bound)
-    def tagged_scan(**kw):
-        return cat.scan(spark, "frontier", schema_ddl=schema_ddl, **kw) \
+    def tagged_scan(where: list | None = None):
+        sel = entries if where is None else [
+            e for e in entries if _may_match(e, where)]
+        return cat.scan_entries(spark, sel, schema_ddl) \
             .withColumn("_src_file", F.input_file_name())
 
     if cut is None:

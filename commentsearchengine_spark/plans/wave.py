@@ -196,7 +196,25 @@ def bootstrap(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> int:
     return sid
 
 
-def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
+def _discard_handoff(handoff: dict | None) -> None:
+    """Release a pending next-wave admission handoff that will not be
+    adopted (config drift, wrong wave, aborted crawl): wait out its
+    in-flight job, then unpersist everything it cached."""
+    if not handoff:
+        return
+    try:
+        handoff["future"].result()
+    except Exception:
+        pass  # a failed speculative job has nothing to release beyond persists
+    for df in handoff["persists"]:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
+             handoff_slot: list | None = None, spec_pool=None) -> dict:
     """One crawl wave = one batch job + one snapshot commit.
 
     Per-wave cost is bounded by the ADMITTED + DISCOVERED sets, not the
@@ -223,7 +241,7 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
     wave_pools: list = []
     try:
         return _run_wave(spark, cat, cfg, wave_persists, wave_broadcasts,
-                         wave_pools)
+                         wave_pools, handoff_slot, spec_pool)
     finally:
         # always runs — an exception mid-wave must not leak this wave's
         # early-write threads (they finish into the never-committed
@@ -239,7 +257,8 @@ def run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> dict:
 
 def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
               wave_persists: list, wave_broadcasts: list,
-              wave_pools: list) -> dict:
+              wave_pools: list, handoff_slot: list | None = None,
+              spec_pool=None) -> dict:
     t0 = time.monotonic()
     snap = cat.load_snapshot()
     assert snap is not None, "bootstrap first"
@@ -273,25 +292,52 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     tick = [time.monotonic()]
 
     # ---- Q1/O1: pruned admission + crawl order ----------------------------
-    # persist the ranked-admitted set (small: <= Σ budgets) BEFORE the
-    # global-seq assembly — its prefix-sum offsets are a broadcast
-    # subquery over the same rows, which would otherwise re-run the
-    # ranking window a second time inside the one action
-    ranked_admitted = admission.admit_pruned(
-        spark, cat, hosts, schemas.FRONTIER,
-        head_factor=cfg.admission_head_factor,
-        persists=wave_persists,
-        want=snap.state.get("next_admission_want")).persist()
-    wave_persists.append(ranked_admitted)
-    admitted = admission.assign_global_seq(ranked_admitted, base).persist()
-    wave_persists.append(admitted)
-    # ONE driver action for every per-wave scalar: row count + the exact
-    # set of frontier data files that lost a row (bounded by the head
-    # file count; admission tags each row with input_file_name) — every
-    # extra action is a cluster-wide barrier
-    n_admitted, touched_files = admitted.agg(
-        F.count("*"), F.collect_set("_src_file")).collect()[0]
-    touched_files = set(touched_files or [])
+    # If the PREVIOUS wave launched this wave's admission speculatively
+    # (over the staged frontier + just-written hosts files — the exact
+    # data the commit then pinned), adopt its materialized result; its
+    # ranking job overlapped the previous wave's bloom/lineage writes
+    # instead of serializing after the commit.  Adoption is guarded by
+    # (wave, global_seq base, config hash): any mismatch — resume from a
+    # different snapshot, config drift, aborted commit — discards the
+    # speculation and runs admission normally.  Inputs were identical
+    # files, so adopted == fresh bit-for-bit.
+    admitted = None
+    incoming = handoff_slot[0] if handoff_slot else None
+    if incoming is not None:
+        if (incoming["wave"] == wave and incoming["base"] == base
+                and incoming["config_hash"] == cfg.config_hash()):
+            handoff_slot[0] = None
+            try:
+                admitted, n_admitted, touched_files = (
+                    incoming["future"].result())
+                wave_persists.extend(incoming["persists"])
+                timings["admit_overlapped"] = 1.0
+            except Exception:
+                _discard_handoff(incoming)
+                admitted = None
+        else:
+            handoff_slot[0] = None
+            _discard_handoff(incoming)
+    if admitted is None:
+        # persist the ranked-admitted set (small: <= Σ budgets) BEFORE
+        # the global-seq assembly — its prefix-sum offsets are a
+        # broadcast subquery over the same rows, which would otherwise
+        # re-run the ranking window a second time inside the one action
+        ranked_admitted = admission.admit_pruned(
+            spark, cat, hosts, schemas.FRONTIER,
+            head_factor=cfg.admission_head_factor,
+            persists=wave_persists,
+            want=snap.state.get("next_admission_want")).persist()
+        wave_persists.append(ranked_admitted)
+        admitted = admission.assign_global_seq(ranked_admitted, base).persist()
+        wave_persists.append(admitted)
+        # ONE driver action for every per-wave scalar: row count + the
+        # exact set of frontier data files that lost a row (bounded by
+        # the head file count; admission tags each row with
+        # input_file_name) — every extra action is a cluster-wide barrier
+        n_admitted, touched_files = admitted.agg(
+            F.count("*"), F.collect_set("_src_file")).collect()[0]
+        touched_files = set(touched_files or [])
     _mark("admit", tick)
 
     crawl_log_new = admitted.select(
@@ -668,6 +714,47 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
             name: pool.submit(timed(name, cat.stage_write, df, name, mode))
             for name, df, mode in writes
         }
+        if spec_pool is not None and handoff_slot is not None:
+            # ---- overlapped NEXT-wave admission (exact, not a guess) --
+            # The next wave's admission inputs are already final here:
+            # the frontier staged list (carried + rewritten + new files,
+            # all on disk) and the hosts table being written by
+            # futs["hosts"] — exactly the files the imminent commit
+            # pins.  Rank them on a driver thread NOW so the admission
+            # job overlaps the bloom/lineage writes (and whatever else
+            # trails) instead of serializing after the commit.  The
+            # commit does NOT wait for this future; the next run_wave
+            # adopts it (or discards it on any mismatch).
+            staged_frontier = cat.staged_entries("frontier")
+            next_base = base + n_admitted
+            spec_persists: list = []
+
+            def spec_admission():
+                futs["hosts"].result()  # hosts files must be on disk
+                hosts_entries = cat.staged_entries("hosts")
+                want_next = int(want_obs.get["next_want"] or 0)
+                hosts_next_read = cat.scan_entries(
+                    spark, hosts_entries, schemas.HOSTS)
+                ranked = admission.admit_pruned(
+                    spark, cat, hosts_next_read, schemas.FRONTIER,
+                    head_factor=cfg.admission_head_factor,
+                    persists=spec_persists, want=want_next,
+                    entries=staged_frontier).persist()
+                spec_persists.append(ranked)
+                adm = admission.assign_global_seq(
+                    ranked, next_base).persist()
+                spec_persists.append(adm)
+                n_adm, touched = adm.agg(
+                    F.count("*"), F.collect_set("_src_file")).collect()[0]
+                return adm, int(n_adm), set(touched or [])
+
+            handoff_slot[0] = {
+                "wave": wave + 1,
+                "base": next_base,
+                "config_hash": cfg.config_hash(),
+                "future": spec_pool.submit(spec_admission),
+                "persists": spec_persists,
+            }
         for name, fut in futs.items():
             fut.result()
         for name, fut in early_futs.items():
@@ -731,7 +818,22 @@ def run_crawl(spark: SparkSession, root: str, cfg: EngineConfig) -> Catalog:
             f"{cfg.config_hash()!r}; start a fresh catalog root or rerun "
             "with the original EngineConfig"
         )
-    while snap.wave < cfg.n_waves:
-        run_wave(spark, cat, cfg)
-        snap = cat.load_snapshot()
+    from concurrent.futures import ThreadPoolExecutor
+
+    # One driver thread carries the overlapped next-wave admission
+    # across wave boundaries (see _run_wave); the slot owns any pending
+    # handoff so an abort anywhere still releases its cached relations.
+    handoff_slot: list = [None]
+    spec_pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        while snap.wave < cfg.n_waves:
+            run_wave(
+                spark, cat, cfg, handoff_slot=handoff_slot,
+                # no point speculating past the final wave
+                spec_pool=spec_pool if snap.wave + 1 < cfg.n_waves else None)
+            snap = cat.load_snapshot()
+    finally:
+        _discard_handoff(handoff_slot[0])
+        handoff_slot[0] = None
+        spec_pool.shutdown(wait=True)
     return cat

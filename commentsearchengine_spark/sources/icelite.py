@@ -265,6 +265,20 @@ class Catalog:
             for e in entries
         ]
 
+    def staged_entries(self, table: str) -> list[dict]:
+        """Snapshot of the staged (not-yet-committed) manifest entries
+        for ``table`` — the file list the NEXT snapshot will pin.  Lets
+        a caller plan work against the upcoming snapshot's exact data
+        files (e.g. the wave loop's overlapped next-wave admission)
+        while other tables are still being written; the returned list
+        is a copy, immune to later staging or the commit's reset."""
+        with self._lock:
+            entries = list(self._staged.get(table, []))
+        return [
+            e if isinstance(e, dict) else {"path": e, "rows": None, "stats": {}}
+            for e in entries
+        ]
+
     # ----------------------------------------------------------- writes
     def stage_entries(self, table: str, entries: list[Any]) -> None:
         """Seed the NEXT snapshot's file list for ``table`` with existing
