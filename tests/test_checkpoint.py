@@ -93,3 +93,45 @@ def test_time_travel(spark):
         assert all(r[0] == 1 for r in log_w1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stale_or_failing_handoff_falls_back(spark):
+    """The overlapped-admission guard: a handoff for the wrong wave, a
+    wrong global_seq base, or one whose speculative job FAILED must be
+    discarded (its cached relations released) with admission falling
+    back to the normal path — crawl output identical either way."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from commentsearchengine_spark.plans import wave as W
+
+    cfg = EngineConfig(n_seeds=8, n_waves=2, n_buckets=16)
+    clean_root = tempfile.mkdtemp(prefix="handoff-clean-")
+    poisoned_root = tempfile.mkdtemp(prefix="handoff-poisoned-")
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        cat_clean = run_crawl(spark, clean_root, cfg)
+
+        cat = Catalog(poisoned_root)
+        W.bootstrap(spark, cat.init(), cfg)
+        released: list = []
+
+        class FakeDF:
+            def unpersist(self):
+                released.append(True)
+
+        def boom():
+            raise RuntimeError("speculative job died")
+
+        stale = {"wave": 999, "base": 0, "config_hash": cfg.config_hash(),
+                 "future": pool.submit(lambda: None),
+                 "persists": [FakeDF()]}
+        failing = {"wave": 1, "base": 0, "config_hash": cfg.config_hash(),
+                   "future": pool.submit(boom), "persists": [FakeDF()]}
+        W.run_wave(spark, cat, cfg, handoff_slot=[stale])
+        W.run_wave(spark, cat, cfg, handoff_slot=[failing])
+        assert len(released) == 2  # both handoffs fully released
+        assert _tables(spark, cat) == _tables(spark, cat_clean)
+    finally:
+        pool.shutdown(wait=True)
+        shutil.rmtree(clean_root, ignore_errors=True)
+        shutil.rmtree(poisoned_root, ignore_errors=True)
