@@ -135,3 +135,37 @@ def test_stale_or_failing_handoff_falls_back(spark):
         pool.shutdown(wait=True)
         shutil.rmtree(clean_root, ignore_errors=True)
         shutil.rmtree(poisoned_root, ignore_errors=True)
+
+
+def test_resume_refuses_wrong_layout_or_config(spark):
+    """Resuming a catalog written under an older on-disk layout (e.g. a
+    bloom probed at the wrong bitmap size) or with drifted
+    semantics-affecting config must fail loud, never silently corrupt
+    dedup (op K2 guards)."""
+    import json
+    import os
+
+    import pytest
+
+    cfg = EngineConfig(n_seeds=4, n_waves=1, n_buckets=8)
+    root = tempfile.mkdtemp(prefix="layout-guard-")
+    try:
+        cat = run_crawl(spark, root, cfg)
+        with pytest.raises(ValueError, match="config_hash"):
+            run_crawl(spark, root,
+                      EngineConfig(n_seeds=4, n_waves=2, n_buckets=8,
+                                   bloom_k=7))
+        # doctor the current snapshot to an older layout version
+        snap_path = os.path.join(
+            root, "metadata",
+            f"snap-{cat.current_snapshot_id():06d}.json")
+        with open(snap_path) as f:
+            d = json.load(f)
+        d["state"]["layout_version"] = 2
+        with open(snap_path, "w") as f:
+            json.dump(d, f)
+        with pytest.raises(ValueError, match="layout_version"):
+            run_crawl(spark, root,
+                      EngineConfig(n_seeds=4, n_waves=2, n_buckets=8))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
