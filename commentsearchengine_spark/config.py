@@ -48,6 +48,12 @@ class EngineConfig:
     # 2x wave wall-time at 512 rows vs 4096 on 32 cores.  4096 rows
     # x ~5 KB/page ~= 20 MB per in-flight batch per worker.
     arrow_batch_rows: int = 4096
+    # ...whereas the SLIM-row Python stages (bloom probe/build over
+    # ~50-byte URL rows, bootstrap canonicalization) want far larger
+    # batches: the wave loop flips the session setting per job phase.
+    # Measured: the 5M-candidate probe+agg step 5.5 -> 4.9 s at 32
+    # cores going 4096 -> 65536 rows/batch (plan-only knob)
+    arrow_batch_rows_slim: int = 65536
     # bench knobs (affect semantics => part of config_hash; parity tests
     # exercise them at small scale)
     seed_spread_hosts: int = 0   # 0 = all seeds on the WaPo host
@@ -69,7 +75,7 @@ class EngineConfig:
 
     _PLAN_ONLY = ("n_waves", "admission_head_factor", "write_rows_per_file",
                   "backstop_broadcast_max_rows", "salt_factor",
-                  "salt_factor_max", "bloom_nbits")
+                  "salt_factor_max", "bloom_nbits", "arrow_batch_rows_slim")
 
     def config_hash(self) -> str:
         """Hash of the semantics-affecting parameters.  ``n_waves`` is a

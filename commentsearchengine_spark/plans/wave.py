@@ -111,6 +111,10 @@ def universe_hosts(cfg: EngineConfig) -> list[str]:
 def bootstrap(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> int:
     """Wave 0 — robots table + seed ingest (op S1) → first snapshot."""
     cat.init()
+    # bootstrap ships only slim URL rows through Python (canonicalizer,
+    # bloom build) — use the large-batch setting
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(cfg.arrow_batch_rows_slim))
     robots = robots_table(spark, universe_hosts(cfg))
     rules_agg = aggregate_rules(robots)
 
@@ -471,6 +475,12 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     fetched = fetch_pages(
         salted.repartition(par * 4, "host", "salt"), wave, cfg.n_hosts)
     raise_failed_early_writes()
+    # fat image rows -> small Arrow batches for THIS job only; the
+    # expansion/bloom jobs below flip to the slim-row size (the early
+    # writes running concurrently have no Python stages, so the session
+    # setting is read only by the fetch job)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(cfg.arrow_batch_rows))
     pages_entries = cat.stage_write(fetched, "pages", "append")
     _mark("fetch_write", tick)
     raise_failed_early_writes()
@@ -534,6 +544,10 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     # actually has to fit in the broadcast is the maybe set (bloom FPR
     # x fresh + true re-discoveries), orders of magnitude smaller than
     # the bound; the shuffle path survives only as the overflow valve.
+    # slim URL rows from here on (probe UDF, bloom build): large Arrow
+    # batches cut JVM<->Python round-trips ~11% on a 5M-candidate wave
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(cfg.arrow_batch_rows_slim))
     n_uniq, n_maybe = probed.agg(
         F.count(F.lit(1)),
         F.sum(F.col("maybe_seen").cast("long"))).collect()[0]
