@@ -14,11 +14,14 @@ never driver-certified (judge-verified green in r3:
 slot 4 is this round's new ``ann_lsh_recall_sampled``, slots 5–6 are the
 two queries whose plans were rewritten this round (``search_tfidf``,
 ``search_boolean``), slots 7–35 re-certify the 29 oracle-paired entries
-whose last green row dates to r01/r02, and the final 15 slots are
-r03-green regression canaries.  Every window entry is oracle-paired this
-round (all 12 rows-only entries were driver-recorded in r03 and now sit
-past the window, as do the two rows-only-by-design entries
-``approx_distinct`` and ``search_stemmed_index``); unknown newcomers are
+whose last green row dates to r01/r02, and the final 15 slots are 13
+r03-green regression canaries + this round's two other new queries
+(``ngram_jaccard_pairs``, oracle-paired, and ``video_frame_sample``,
+rows-only by design — binary codec pipeline), so that after r04 every
+registry entry has a driver-recorded row in some round.  The 12
+remaining rows-only entries were driver-recorded in r03 and sit past
+the window, as do the two rows-only-by-design entries
+``approx_distinct`` and ``search_stemmed_index``; unknown newcomers are
 appended at the END (never inside the window).
 ``tests/test_registry_gate.py`` enforces these invariants.
 """
@@ -31,7 +34,8 @@ GATE_WINDOW = 50
 
 # Round-4 first-50 driver window: 3 never-driver-certified + 1 new +
 # 2 rewritten-this-round + 29 oldest-certification (r01/r02 only) +
-# 15 r03-green canaries.  All oracle-paired.
+# 13 r03-green canaries + 2 more new entries.  All oracle-paired except
+# video_frame_sample (rows-only by design, allowlisted below).
 GATE_ORDER = [
     # -- the 3 entries no driver round has ever checked ------------------
     "cosine_near_dup_pairs",
@@ -79,7 +83,6 @@ GATE_ORDER = [
     "asof_purchase_click",
     "salted_skew_join",
     "cube_flag_status",
-    "session_windows",
     "search_phrase",
     "dedup_exact",
     "lsh_near_dup_pairs",
@@ -87,12 +90,18 @@ GATE_ORDER = [
     "cosine_topk",
     "ann_lsh_pairs",
     "ivf_ann_topk",
-    "udtf_tokenize",
+    # -- new this round (slot traded from two r03-green canaries whose
+    #    components remain covered: session_windows by the r03 record,
+    #    udtf_tokenize by r03 + pytest) — after r04 every one of the
+    #    registry's entries has a driver-recorded row in some round
+    "ngram_jaccard_pairs",
+    "video_frame_sample",
 ]
 
 # Rows-only-by-design entries allowed inside the gate window (no DuckDB
 # oracle can express them; the driver records a rows>0 check instead).
 GATE_ROWS_ONLY_OK = {
+    "video_frame_sample",
     "hll_sketch_distinct",
     "csv_roundtrip",
     "json_roundtrip",
