@@ -744,8 +744,17 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
             spec_persists: list = []
 
             def spec_admission():
-                futs["hosts"].result()  # hosts files must be on disk
-                hosts_entries = cat.staged_entries("hosts")
+                # stage_write RETURNS the new manifest entries, and hosts
+                # is an overwrite — the returned list is exactly the
+                # hosts pin the imminent commit publishes.  Never re-read
+                # cat staged state from this thread: the main thread's
+                # commit() clears the staged map without waiting for this
+                # future, and losing that race would rank an EMPTY hosts
+                # relation (0 admitted next wave) while the adoption
+                # guard (wave/base/config_hash) still matches — a silent
+                # oracle divergence (ADVICE r4, high).  staged_frontier
+                # is likewise snapshotted on the main thread above.
+                hosts_entries = futs["hosts"].result()
                 want_next = int(want_obs.get["next_want"] or 0)
                 hosts_next_read = cat.scan_entries(
                     spark, hosts_entries, schemas.HOSTS)

@@ -169,3 +169,36 @@ def test_exact_match_mixed_throttle(spark):
         _assert_match(spark, cat, o)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_spec_admission_never_reads_staged_hosts(spark, monkeypatch):
+    """ADVICE r4 (high): the overlapped next-wave admission must not
+    re-read the catalog's shared staged map for hosts — the main
+    thread's commit() clears it without waiting for the speculation
+    future, and losing that race ranked an EMPTY hosts relation while
+    the adoption guard still matched (next wave silently admits 0).
+
+    The fix consumes stage_write's RETURNED entries instead, so a
+    staged_entries('hosts') call from anywhere in the wave loop is now
+    a bug by construction: poison it to simulate commit always winning
+    the race, and require full oracle parity anyway."""
+    from commentsearchengine_spark.sources.icelite import Catalog
+
+    real = Catalog.staged_entries
+
+    def poisoned(self, table):
+        if table == "hosts":
+            raise AssertionError(
+                "staged_entries('hosts') read from the wave loop — the "
+                "spec-admission race fix must use the stage_write future's "
+                "returned entries")
+        return real(self, table)
+
+    monkeypatch.setattr(Catalog, "staged_entries", poisoned)
+    cfg = EngineConfig(n_seeds=25, n_waves=4, n_buckets=32)
+    cat, root = _run_engine(spark, cfg)  # speculation active (waves 1-3)
+    try:
+        o = run_oracle(25, 4, 32, cfg.n_hosts)
+        _assert_match(spark, cat, o)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
