@@ -146,6 +146,41 @@ _OPS = {
 }
 
 
+def entries_overlapping_segs(entries: list[Any], segs: set[int],
+                             shift: int, col: str = "url_hash") -> list[Any]:
+    """Manifest entries whose ``col`` [min, max] stats could contain a
+    value from any of the given hash SEGMENTS (seg = value >> shift,
+    arithmetic/signed, so seg s covers [s << shift, ((s+1) << shift) - 1]).
+
+    This is the set-membership analogue of ``_may_match``: the caller
+    collected the distinct segments its probe keys hash into (a bounded
+    driver-side set — at most 2^(64-shift) values) and prunes a
+    hash-CLUSTERED table to just the files those keys could live in.
+    Conservative like all manifest pruning: entries without stats for
+    ``col`` are always kept; an empty seg set keeps nothing (no keys =>
+    no file can match)."""
+    if not segs:
+        return []
+    ranges = sorted(
+        ((s << shift), (((s + 1) << shift) - 1)) for s in segs)
+    los = [r[0] for r in ranges]
+    import bisect
+
+    out = []
+    for e in entries:
+        st = (e.get("stats") or {}).get(col) if isinstance(e, dict) else None
+        if st is None:
+            out.append(e)
+            continue
+        lo, hi = st
+        # ranges are disjoint and ascending, so the rightmost range
+        # starting at or before `hi` is the only overlap candidate
+        i = bisect.bisect_right(los, hi) - 1
+        if i >= 0 and ranges[i][1] >= lo:
+            out.append(e)
+    return out
+
+
 def _may_match(entry: Any, where: list[tuple]) -> bool:
     """Conservative file-level predicate check: False only when the
     file's [min,max] PROVES no row can match (absent stats => keep)."""

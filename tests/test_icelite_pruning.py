@@ -110,3 +110,58 @@ def test_float_predicates_never_prune(spark, tmp_path):
             where=[("x", ">=", -10.0)],
         ).filter(F.col("x") >= -10.0).collect())
     assert got == [1, 2, 3, 4]  # NaN > every number in Spark SQL
+
+
+def test_entries_overlapping_segs():
+    """Backstop seg pruning (plans/wave.py): conservative set-membership
+    file elimination over url_hash range stats."""
+    from commentsearchengine_spark.sources.icelite import (
+        entries_overlapping_segs,
+    )
+
+    shift = 48
+    w = 1 << shift
+
+    def entry(lo, hi, path="f"):
+        return {"path": path, "rows": 1, "stats": {"url_hash": [lo, hi]}}
+
+    stats_less = {"path": "legacy", "rows": 1, "stats": {}}
+    ents = [
+        entry(0, w - 1, "seg0"),              # exactly seg 0
+        entry(5 * w + 3, 5 * w + 9, "seg5"),  # inside seg 5
+        entry(2 * w, 4 * w - 1, "seg2_3"),    # spans segs 2..3
+        entry(-2 * w, -w - 1, "neg2"),        # seg -2 (signed hashes)
+        stats_less,
+    ]
+    paths = lambda segs: sorted(  # noqa: E731
+        e["path"] for e in entries_overlapping_segs(ents, segs, shift))
+    assert paths({0}) == ["legacy", "seg0"]
+    assert paths({5}) == ["legacy", "seg5"]
+    assert paths({3}) == ["legacy", "seg2_3"]
+    assert paths({-2}) == ["legacy", "neg2"]
+    assert paths({7}) == ["legacy"]           # only the conservative keep
+    assert paths({-2, 0, 5}) == ["legacy", "neg2", "seg0", "seg5"]
+    # empty seg set => no probe keys => nothing can match
+    assert entries_overlapping_segs(ents, set(), shift) == []
+
+
+def test_backstop_prunes_clustered_seen(spark, tmp_path):
+    """End-to-end: a crawl's per-wave metrics record the backstop scan
+    as a subset of the manifest whenever the maybe segments allow it,
+    and the clustered seen files carry tight url_hash stats."""
+    from commentsearchengine_spark.config import EngineConfig
+    from commentsearchengine_spark.plans.wave import (
+        BACKSTOP_SEG_SHIFT, run_crawl,
+    )
+
+    cfg = EngineConfig(n_seeds=25, n_waves=3, n_buckets=32)
+    cat = run_crawl(spark, str(tmp_path / "cat"), cfg)
+    snap = cat.load_snapshot()
+    b = snap.metrics["backstop"]
+    assert b["seen_files_scanned"] <= b["seen_files_total"]
+    assert b["frontier_files_scanned"] <= b["frontier_files_total"]
+    # every seen file is hash-clustered: its url_hash span is a narrow
+    # slice, not the whole int64 space (the property pruning relies on)
+    for e in cat.table_files("seen"):
+        lo, hi = e["stats"]["url_hash"]
+        assert hi - lo < (1 << 63)  # strictly narrower than half-space
