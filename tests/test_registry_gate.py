@@ -27,10 +27,13 @@ def test_window_entries_have_oracle_or_are_allowlisted():
             assert name not in registry.GATE_ROWS_ONLY_OK
 
 
-def test_no_oracle_by_design_entries_sit_past_window():
-    tail = list(registry.QUERIES)[registry.GATE_WINDOW :]
+def test_no_oracle_by_design_entries_are_allowlisted():
+    # r5 rotation: the two estimator/stemmer demos moved INSIDE the
+    # window (freshness re-record of every rows-only entry) — legal only
+    # because they are explicitly allowlisted as rows-only-by-design
     for name in ("approx_distinct", "search_stemmed_index"):
-        assert name in tail
+        assert name in registry.GATE_ROWS_ONLY_OK
+        assert name in registry.GATE_ORDER
 
 
 def test_every_query_is_either_gated_or_appended():
