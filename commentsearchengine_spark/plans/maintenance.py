@@ -1,0 +1,81 @@
+"""Catalog maintenance — file compaction (the icelite analogue of
+Apache Iceberg's `rewrite_data_files` action).
+
+Why this exists at 10^10 scale: the `seen` table appends a hash-
+clustered file set EVERY wave, so after W waves a url_hash segment's
+rows are spread over ~W small files.  Two costs grow with W, not with
+data volume: (1) manifest length (driver-side planning), and (2) the
+collision backstop's pruning RESOLUTION — a maybe key now hits ~W
+files instead of 1, because each wave's files tile the same hash space
+(plans/wave.py BACKSTOP_SEG_SHIFT).  Compaction rewrites the table
+once into ~rows/rows_per_file files re-clustered by the hash column,
+restoring one-file-per-segment tightness; content is bit-identical and
+the rewrite publishes as ONE ordinary atomic snapshot (crash-safe like
+any wave commit: an interrupted compaction leaves the old snapshot
+current and only orphans unreachable files).
+
+This is an OFFLINE maintenance op (run between waves, like Iceberg
+table maintenance) — the wave loop never calls it implicitly, so crawl
+parity and resume guarantees are untouched; tests assert row-level
+content equality and improved stats tightness across a compaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+from ..sources.icelite import Catalog
+
+
+def compact_table(spark: SparkSession, cat: Catalog, table: str,
+                  schema_ddl: str, cluster_col: str | None = "url_hash",
+                  rows_per_file: int = 1_000_000,
+                  min_files: int = 8) -> dict:
+    """Rewrite ``table``'s current snapshot into ~total_rows /
+    rows_per_file files, hash-clustered by ``cluster_col`` (one file
+    per contiguous segment of the column's int64 space — the layout
+    every reader's manifest pruning expects).  Publishes one new
+    snapshot carrying every OTHER table forward untouched.
+
+    No-op (returns the current state) when the table already has fewer
+    than ``min_files`` files — compacting tiny tables only churns
+    snapshots.  Returns a summary dict with before/after file counts
+    and the new snapshot id.
+    """
+    snap = cat.load_snapshot()
+    entries = cat.table_files(table)
+    n_files = len(entries)
+    if n_files < min_files:
+        return {"table": table, "files_before": n_files,
+                "files_after": n_files, "compacted": False,
+                "snapshot_id": None if snap is None else snap.snapshot_id}
+    total_rows = sum(e.get("rows") or 0 for e in entries)
+    parts = max(
+        spark.sparkContext.defaultParallelism,
+        min(1024, total_rows // rows_per_file + 1))
+    df = cat.scan_entries(spark, entries, schema_ddl)
+    partition_cols = None
+    if cluster_col is not None:
+        # same static power-of-two segmentation as plans/wave._with_hseg
+        # (murmur64 hashes are uniform; no sampling job): one directory
+        # per segment so each output file's cluster_col [min, max]
+        # collapses to a narrow range for manifest pruning
+        k = max(1, (max(2, parts) - 1).bit_length())
+        df = df.withColumn(
+            "_hseg", F.shiftright(cluster_col, 64 - k)
+        ).repartition(parts, "_hseg")
+        partition_cols = ["_hseg"]
+    else:
+        df = df.repartition(parts)
+    new_entries = cat.stage_write(
+        df, table, mode="stage-append", partition_cols=partition_cols)
+    sid = cat.commit(
+        wave=snap.wave,
+        state=snap.state,
+        metrics={"maintenance": "compact", "table": table,
+                 "files_before": n_files, "files_after": len(new_entries),
+                 "rows": total_rows},
+    )
+    return {"table": table, "files_before": n_files,
+            "files_after": len(new_entries), "rows": total_rows,
+            "compacted": True, "snapshot_id": sid}

@@ -306,8 +306,33 @@ def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_icelite_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """Catalog maintenance through the driver contract: compact the
+    demo crawl's fragmented `seen` table (plans/maintenance.py — the
+    icelite analogue of Iceberg rewrite_data_files) and report the
+    before/after file counts plus a row-content equality check.
+    Rows-only (a maintenance action, not SQL); content preservation is
+    additionally pytest-gated with full oracle parity across a
+    compaction (tests/test_maintenance.py)."""
+    from ..plans.maintenance import compact_table
+
+    cat = _demo_catalog(spark)  # safe to mutate: compaction is content-preserving
+    files_before = len(cat.table_files("seen"))
+    rows_before = cat.scan(spark, "seen", schema_ddl=schemas.SEEN).count()
+    out = compact_table(spark, cat, "seen", schemas.SEEN,
+                        cluster_col="url_hash", min_files=2)
+    rows_after = cat.scan(spark, "seen", schema_ddl=schemas.SEEN).count()
+    return spark.createDataFrame(
+        [(files_before, len(cat.table_files("seen")), bool(out["compacted"]),
+          int(rows_before), int(rows_after), rows_before == rows_after)],
+        "files_before int, files_after int, compacted boolean, "
+        "rows_before long, rows_after long, content_preserved boolean",
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "video_frame_sample": (q_video_frame_sample, None),
+    "icelite_compact": (q_icelite_compact, None),
     "crawl_log": (q_crawl_log, None),
     "crawl_frontier_depth": (q_crawl_frontier_depth, None),
     "crawl_lineage": (q_crawl_lineage, None),

@@ -1,0 +1,79 @@
+"""Compaction maintenance (plans/maintenance.py): content-preserving,
+pruning-restoring, and transparent to a resumed crawl."""
+
+import shutil
+import tempfile
+
+import commentsearchengine_spark.schemas as S
+from commentsearchengine_spark.config import EngineConfig
+from commentsearchengine_spark.plans.maintenance import compact_table
+from commentsearchengine_spark.plans.wave import run_crawl
+from oracle.seqcrawl import run_oracle
+
+
+def _seen_rows(spark, cat):
+    return sorted(
+        tuple(r) for r in cat.scan(spark, "seen", schema_ddl=S.SEEN).collect())
+
+
+def test_compact_seen_preserves_content_and_tightens_stats(spark):
+    root = tempfile.mkdtemp(prefix="icelite-compact-")
+    try:
+        cfg = EngineConfig(n_seeds=25, n_waves=3, n_buckets=32)
+        cat = run_crawl(spark, root, cfg)
+        before_rows = _seen_rows(spark, cat)
+        before_files = cat.table_files("seen")
+        assert len(before_files) >= 8  # multi-wave append fragmentation
+
+        out = compact_table(spark, cat, "seen", S.SEEN,
+                            cluster_col="url_hash", min_files=2)
+        assert out["compacted"]
+        after_files = cat.table_files("seen")
+        assert len(after_files) == out["files_after"] < len(before_files)
+        assert _seen_rows(spark, cat) == before_rows  # bit-identical
+
+        # clustering restored: every compacted file covers a narrow
+        # url_hash slice and carries stats for pruning
+        for e in after_files:
+            lo, hi = e["stats"]["url_hash"]
+            assert hi - lo < (1 << 63)
+
+        # other tables carried forward untouched in the new snapshot
+        snap = cat.load_snapshot()
+        assert snap.metrics["maintenance"] == "compact"
+        assert snap.row_counts["crawl_log"] > 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_compact_noop_below_min_files(spark):
+    root = tempfile.mkdtemp(prefix="icelite-compact-noop-")
+    try:
+        cfg = EngineConfig(n_seeds=5, n_waves=1, n_buckets=16)
+        cat = run_crawl(spark, root, cfg)
+        sid = cat.load_snapshot().snapshot_id
+        out = compact_table(spark, cat, "seen", S.SEEN, min_files=10_000)
+        assert not out["compacted"]
+        assert cat.load_snapshot().snapshot_id == sid  # no snapshot churn
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_crawl_resumes_through_compaction_with_oracle_parity(spark):
+    """compact between waves 2 and 3-4 → final state equals a straight
+    4-wave run AND the sequential oracle (the maintenance op is
+    invisible to crawl semantics)."""
+    root = tempfile.mkdtemp(prefix="icelite-compact-resume-")
+    try:
+        run_crawl(spark, root, EngineConfig(n_seeds=25, n_waves=2,
+                                            n_buckets=32))
+        cat = run_crawl(spark, root, EngineConfig(n_seeds=25, n_waves=2,
+                                                  n_buckets=32))
+        compact_table(spark, cat, "seen", S.SEEN, min_files=2)
+        cat = run_crawl(spark, root, EngineConfig(n_seeds=25, n_waves=4,
+                                                  n_buckets=32))
+        o = run_oracle(25, 4, 32, EngineConfig().n_hosts)
+        from tests.test_crawl_match import _assert_match
+        _assert_match(spark, cat, o)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
