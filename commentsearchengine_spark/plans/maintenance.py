@@ -30,12 +30,19 @@ from ..sources.icelite import Catalog
 def compact_table(spark: SparkSession, cat: Catalog, table: str,
                   schema_ddl: str, cluster_col: str | None = "url_hash",
                   rows_per_file: int = 1_000_000,
-                  min_files: int = 8) -> dict:
+                  min_files: int = 8,
+                  tier_col: str | None = None) -> dict:
     """Rewrite ``table``'s current snapshot into ~total_rows /
     rows_per_file files, hash-clustered by ``cluster_col`` (one file
     per contiguous segment of the column's int64 space — the layout
     every reader's manifest pruning expects).  Publishes one new
     snapshot carrying every OTHER table forward untouched.
+
+    ``tier_col`` (e.g. "priority" for the frontier) additionally keeps
+    one directory per tier value, preserving the point-valued tier
+    stats that admission's head-cut pruning relies on
+    (operators/admission.py::choose_cut) — without it a compacted
+    frontier file would straddle priorities and blunt the cut.
 
     No-op (returns the current state) when the table already has fewer
     than ``min_files`` files — compacting tiny tables only churns
@@ -54,7 +61,7 @@ def compact_table(spark: SparkSession, cat: Catalog, table: str,
         spark.sparkContext.defaultParallelism,
         min(1024, total_rows // rows_per_file + 1))
     df = cat.scan_entries(spark, entries, schema_ddl)
-    partition_cols = None
+    partition_cols: list[str] | None = None
     if cluster_col is not None:
         # same static power-of-two segmentation as plans/wave._with_hseg
         # (murmur64 hashes are uniform; no sampling job): one directory
@@ -65,6 +72,9 @@ def compact_table(spark: SparkSession, cat: Catalog, table: str,
             "_hseg", F.shiftright(cluster_col, 64 - k)
         ).repartition(parts, "_hseg")
         partition_cols = ["_hseg"]
+        if tier_col is not None:
+            df = df.withColumn("_tier", F.col(tier_col))
+            partition_cols = ["_tier", "_hseg"]
     else:
         df = df.repartition(parts)
     new_entries = cat.stage_write(

@@ -77,3 +77,29 @@ def test_crawl_resumes_through_compaction_with_oracle_parity(spark):
         _assert_match(spark, cat, o)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_compact_frontier_preserves_tiers_and_parity(spark):
+    """Frontier compaction with tier_col='priority' keeps per-file
+    priority stats point-valued (admission head pruning intact) and a
+    resumed crawl through it still matches the oracle."""
+    root = tempfile.mkdtemp(prefix="icelite-compact-frontier-")
+    try:
+        run_crawl(spark, root, EngineConfig(n_seeds=25, n_waves=2,
+                                            n_buckets=32))
+        from commentsearchengine_spark.sources.icelite import Catalog
+        cat = Catalog(root)
+        out = compact_table(spark, cat, "frontier", S.FRONTIER,
+                            cluster_col="url_hash", tier_col="priority",
+                            min_files=2)
+        assert out["compacted"]
+        for e in cat.table_files("frontier"):
+            lo, hi = e["stats"]["priority"]
+            assert lo == hi  # one tier per file — head cut stays sharp
+        cat = run_crawl(spark, root, EngineConfig(n_seeds=25, n_waves=4,
+                                                  n_buckets=32))
+        o = run_oracle(25, 4, 32, EngineConfig().n_hosts)
+        from tests.test_crawl_match import _assert_match
+        _assert_match(spark, cat, o)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
