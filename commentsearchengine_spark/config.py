@@ -80,11 +80,18 @@ class EngineConfig:
     # table: crawl_log/seen/frontier/lineage/pages) are bit-identical
     # at any cadence.
     hosts_compact_every: int = 16
+    # auto-compaction cadence for the seen table (plans/maintenance.py
+    # run by the crawl loop between waves; 0 = offline-only): appends
+    # fragment each url_hash segment across ~W files after W waves,
+    # degrading the collision backstop's pruning resolution and growing
+    # the manifest with wave count.  Content-preserving and plan-only
+    # (tests/test_maintenance.py proves oracle parity through it).
+    seen_compact_every: int = 64
 
     _PLAN_ONLY = ("n_waves", "admission_head_factor", "write_rows_per_file",
                   "backstop_broadcast_max_rows", "salt_factor",
                   "salt_factor_max", "bloom_nbits", "arrow_batch_rows_slim",
-                  "hosts_compact_every")
+                  "hosts_compact_every", "seen_compact_every")
 
     def config_hash(self) -> str:
         """Hash of the semantics-affecting parameters.  ``n_waves`` is a

@@ -1036,6 +1036,22 @@ def run_crawl(spark: SparkSession, root: str, cfg: EngineConfig) -> Catalog:
                 # no point speculating past the final wave
                 spec_pool=spec_pool if snap.wave + 1 < cfg.n_waves else None)
             snap = cat.load_snapshot()
+            # periodic seen compaction (plans/maintenance.py): appends
+            # fragment each hash segment across ~W files after W waves;
+            # compaction restores one-file-per-segment pruning in one
+            # content-preserving atomic snapshot.  Touches neither the
+            # frontier nor hosts, so a pending speculative admission
+            # (staged-file snapshots taken before this) adopts
+            # unaffected — its guard checks wave/global_seq/config,
+            # all unchanged by a maintenance commit.
+            if (cfg.seen_compact_every > 0 and snap.wave > 0
+                    and snap.wave % cfg.seen_compact_every == 0
+                    and snap.wave < cfg.n_waves):
+                from .maintenance import compact_table
+                compact_table(spark, cat, "seen", schemas.SEEN,
+                              cluster_col="url_hash",
+                              rows_per_file=cfg.write_rows_per_file)
+                snap = cat.load_snapshot()
     finally:
         _discard_handoff(handoff_slot[0])
         handoff_slot[0] = None

@@ -103,3 +103,40 @@ def test_compact_frontier_preserves_tiers_and_parity(spark):
         _assert_match(spark, cat, o)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_auto_compaction_every_wave_keeps_parity(spark, monkeypatch):
+    """seen_compact_every=1 (compact between every wave) is plan-only:
+    the crawl matches the oracle bit-for-bit and the knob stays out of
+    config_hash.  The default min_files guard would skip this tiny
+    fixture, so the test lowers it through a recording wrapper to force
+    real compactions inside the loop."""
+    import commentsearchengine_spark.plans.maintenance as m
+
+    real = m.compact_table
+    calls: list[dict] = []
+
+    def forcing(spark_, cat_, table, ddl, **kw):
+        kw["min_files"] = 2
+        out = real(spark_, cat_, table, ddl, **kw)
+        calls.append(out)
+        return out
+
+    monkeypatch.setattr(m, "compact_table", forcing)
+    cfg = EngineConfig(n_seeds=25, n_waves=3, n_buckets=32,
+                       seen_compact_every=1)
+    assert cfg.config_hash() == EngineConfig(
+        n_seeds=25, n_waves=3, n_buckets=32).config_hash()
+    root = tempfile.mkdtemp(prefix="icelite-autocompact-")
+    try:
+        cat = run_crawl(spark, root, cfg)
+        assert any(c["compacted"] for c in calls)  # the loop really ran it
+        o = run_oracle(25, 3, 32, cfg.n_hosts)
+        from tests.test_crawl_match import _assert_match
+        _assert_match(spark, cat, o)
+        # the maintenance snapshots are visible in the chain
+        kinds = [cat.load_snapshot(s).metrics.get("maintenance")
+                 for s in cat.snapshots()]
+        assert "compact" in kinds
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
