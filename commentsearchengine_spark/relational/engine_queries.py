@@ -306,6 +306,80 @@ def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_audio_frame_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal FEATURE-EXTRACT over an opaque audio binary column —
+    completes the brief's image/audio/video modality triple (image:
+    q_image_feature_extract / q_image_resize_thumbs, video:
+    q_video_frame_sample).
+
+    An "audio clip" is deterministic PCM16 little-endian mono bytes
+    (functions/audiocodec — no audio libs exist in this container; the
+    deterministic stand-in convention matches the image/video synth,
+    and every feature value has a pure-Python pytest oracle in
+    tests/test_audio.py).  Two CHAINED mapInPandas passes prove the
+    real plumbing: pass 1 synthesizes (vec_id, audio binary, typed
+    metadata sr/n_samples); pass 2 is the actual feature extractor —
+    decodes the PCM, reshapes into FRAME_LEN-sample analysis windows,
+    and computes windowed RMS energy / zero-crossing rate / silence
+    ratio as whole-clip numpy reductions (no per-sample Python).  At
+    scale the clip bytes stay in Arrow batches end to end and clips
+    are embarrassingly parallel across partitions.  Rows-only (binary
+    codec pipeline)."""
+    from ..functions import audiocodec as ac
+    from ..functions.mmh3 import murmur64
+
+    (emb,) = (spark.read.parquet(f"{sf}/embeddings.parquet"),)
+    ids = emb.select("vec_id")
+
+    def synth_audio(batches):
+        # dict-of-columns assembly (see q_pages_payload_verify)
+        for pdf in batches:
+            vids, clips, srs, ns = [], [], [], []
+            for vid in pdf["vec_id"]:
+                uh = murmur64(f"audio-{int(vid)}")
+                n = ac.n_samples_for(uh)
+                vids.append(int(vid))
+                clips.append(ac.pcm_encode(ac.synth_pcm(uh, n)))
+                srs.append(ac.SAMPLE_RATE)
+                ns.append(int(n))
+            yield pd.DataFrame({
+                "vec_id": vids, "audio": clips, "sr": srs, "n_samples": ns,
+            })
+
+    clips = ids.repartition(8).mapInPandas(
+        synth_audio,
+        schema="vec_id long, audio binary, sr int, n_samples int",
+    )
+
+    def featurize(batches):
+        # dict-of-columns assembly (see q_pages_payload_verify)
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: [] for k in (
+                    "vec_id", "sr", "n_samples", "n_windows",
+                    "tail_samples", "mean_rms", "max_rms", "mean_zcr",
+                    "silence_ratio")
+            }
+            for r in pdf.itertuples(index=False):
+                feats = ac.frame_features(ac.pcm_decode(bytes(r.audio)))
+                cols["vec_id"].append(int(r.vec_id))
+                cols["sr"].append(int(r.sr))
+                for k in ("n_samples", "n_windows", "tail_samples",
+                          "mean_rms", "max_rms", "mean_zcr",
+                          "silence_ratio"):
+                    cols[k].append(feats[k])
+            yield pd.DataFrame(cols)
+
+    return clips.mapInPandas(
+        featurize,
+        schema=(
+            "vec_id long, sr int, n_samples int, n_windows int,"
+            " tail_samples int, mean_rms double, max_rms double,"
+            " mean_zcr double, silence_ratio double"
+        ),
+    )
+
+
 def q_icelite_compact(spark: SparkSession, sf: str) -> DataFrame:
     """Catalog maintenance through the driver contract: compact the
     demo crawl's fragmented `seen` table (plans/maintenance.py — the
@@ -332,6 +406,7 @@ def q_icelite_compact(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES: dict[str, tuple] = {
     "video_frame_sample": (q_video_frame_sample, None),
+    "audio_frame_features": (q_audio_frame_features, None),
     "icelite_compact": (q_icelite_compact, None),
     "crawl_log": (q_crawl_log, None),
     "crawl_frontier_depth": (q_crawl_frontier_depth, None),
