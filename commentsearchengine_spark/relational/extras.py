@@ -133,24 +133,42 @@ def _roundtrip_dir(sf: str, fmt: str) -> str:
 
 def q_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """CSV sink+source: write `nation` as CSV, read it back with an
-    explicit schema, aggregate.  Rows-only (the oracle views see only
-    the parquet tables, not the derived temp files)."""
+    explicit schema, aggregate.  Ints and quoted strings survive the
+    text format exactly, so the DuckDB oracle (reading the original
+    parquet) value-checks the whole write→read→agg pipeline — the same
+    upgrade orc_roundtrip received (was rows-only through r4)."""
     (nation,) = load(spark, sf, "nation")
     path = _roundtrip_dir(sf, "csv")
     nation.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
     back = spark.read.schema(
         "n_nationkey int, n_name string, n_regionkey int"
     ).option("header", True).csv(path)
-    return back.groupBy("n_regionkey").agg(F.count("*").alias("n_nations"))
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+    )
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
+FROM nation GROUP BY n_regionkey
+"""
 
 
 def q_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """JSON-lines sink+source round-trip over `region` (rows-only)."""
+    """JSON-lines sink+source round-trip over `region` — values survive
+    the JSON escape round-trip exactly, so the DuckDB oracle on the
+    original parquet checks them (was rows-only through r4)."""
     (region,) = load(spark, sf, "region")
     path = _roundtrip_dir(sf, "json")
     region.coalesce(1).write.mode("overwrite").json(path)
     back = spark.read.schema("r_regionkey int, r_name string").json(path)
     return back.orderBy("r_regionkey").select("r_regionkey", "r_name")
+
+
+SQL_JSON_ROUNDTRIP = """
+SELECT r_regionkey, r_name FROM region
+"""
 
 
 def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
@@ -397,8 +415,8 @@ QUERIES: dict[str, tuple] = {
     "scalar_pandas_udf": (q_scalar_pandas_udf, SQL_SCALAR_PANDAS_UDF),
     "grouped_map_normalize": (
         q_grouped_map_normalize, SQL_GROUPED_MAP_NORMALIZE),
-    "csv_roundtrip": (q_csv_roundtrip, None),
-    "json_roundtrip": (q_json_roundtrip, None),
+    "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
+    "json_roundtrip": (q_json_roundtrip, SQL_JSON_ROUNDTRIP),
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "unpivot_revenue": (q_unpivot_revenue, SQL_UNPIVOT_REVENUE),
     "grouped_arrow_stats": (q_grouped_arrow_stats, SQL_GROUPED_ARROW_STATS),

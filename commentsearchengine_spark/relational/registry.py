@@ -33,7 +33,8 @@ GATE_WINDOW = 50
 # 24 stale (r03-green) oracle-paired re-certifications + 12 r04-green
 # canaries led by this round's rewrites.
 GATE_ORDER = [
-    # -- 14 rows-only entries whose only driver record is r03 -------------
+    # -- 14 entries whose only driver record is r03 (rows-only then;
+    # csv/json_roundtrip gained exact oracles in r5 so now value-check) --
     "crawl_log",
     "crawl_frontier_depth",
     "crawl_lineage",
@@ -95,8 +96,6 @@ GATE_ROWS_ONLY_OK = {
     "approx_distinct",
     "search_stemmed_index",
     "hll_sketch_distinct",
-    "csv_roundtrip",
-    "json_roundtrip",
     "crawl_log",
     "crawl_frontier_depth",
     "crawl_lineage",
