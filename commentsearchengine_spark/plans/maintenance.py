@@ -14,10 +14,14 @@ the rewrite publishes as ONE ordinary atomic snapshot (crash-safe like
 any wave commit: an interrupted compaction leaves the old snapshot
 current and only orphans unreachable files).
 
-This is an OFFLINE maintenance op (run between waves, like Iceberg
-table maintenance) — the wave loop never calls it implicitly, so crawl
-parity and resume guarantees are untouched; tests assert row-level
-content equality and improved stats tightness across a compaction.
+This is a BETWEEN-WAVES maintenance op (like Iceberg table
+maintenance).  It never runs inside a wave; the crawl loop optionally
+invokes it between waves on a ``seen_compact_every`` cadence
+(plans/wave.py — a maintenance commit touches only the compacted
+table, so a pending speculative admission adopts unaffected), and
+crawl parity and resume guarantees are untouched either way: tests
+assert row-level content equality, improved stats tightness, and full
+oracle parity through and across compactions.
 """
 
 from __future__ import annotations

@@ -10,10 +10,11 @@ entries of the dict, in insertion order.  ``GATE_ORDER`` pins that window
 explicitly so adding a query can never silently evict a gated one.  The
 round-5 rotation (VERDICT r4 task #8): after r04 every registry entry
 has at least one driver-recorded row, so r05 optimizes FRESHNESS —
-slots 1–14 re-record the 14 rows-only entries whose only driver record
-is r03 (the crawl/streaming/image/format demos; ``video_frame_sample``
-was recorded r04 and now also has a pytest semantic oracle,
-tests/test_video.py), slots 15–38 re-certify the 24 oracle-paired
+slots 1–14 re-record the 14 entries whose only driver record is r03
+(the crawl/streaming/image/format demos — rows-only then;
+``csv_roundtrip``/``json_roundtrip`` gained exact DuckDB oracles in r5
+so those two slots now value-hash-check, and ``video_frame_sample``,
+recorded r04, has a pytest semantic oracle, tests/test_video.py), slots 15–38 re-certify the 24 oracle-paired
 entries whose last green row is r03 (everything r04's window skipped),
 and slots 39–50 are r04-green canaries chosen for risk: the queries
 REWRITTEN this round (``simhash`` — HOF plan, ``ngram_jaccard_pairs``
