@@ -80,7 +80,7 @@ from .. import schemas
 from ..config import DISC_SEQ_STRIDE, EngineConfig
 from ..fixtures import synth
 from ..functions.spark_cols import bucket_col, murmur64_col, seed_urls_df
-from ..operators import admission, bloom
+from ..operators import admission, bloom, cuckoo
 from ..operators.canonicalize import with_canonical
 from ..operators.dedup import dedup_within_wave, make_host_budget_udf
 from ..operators.robots import aggregate_rules, robots_table, with_robots_verdict
@@ -88,6 +88,20 @@ from ..sources import icelite
 from ..sources.icelite import Catalog
 
 FRONTIER_COLS = [c.split(" ")[0] for c in schemas.FRONTIER.split(", ")]
+
+
+def _seen_filter(cfg: EngineConfig):
+    """URL-seen pre-filter backend (ops B1/B2).  Both modules export the
+    identical sized_nbits/build_shards/probe surface over the same
+    ``bloom_shards`` table schema, so everything below dispatches
+    through this one name; ``seen_filter`` is part of config_hash, so
+    the resume guard refuses to reinterpret one backend's stored shard
+    bytes as the other's (which would manufacture false negatives)."""
+    if cfg.seen_filter == "cuckoo":
+        return cuckoo
+    if cfg.seen_filter == "bloom":
+        return bloom
+    raise ValueError(f"unknown seen_filter {cfg.seen_filter!r}")
 
 
 def _lineage_singlepass(wave: int, n_buckets: int,
@@ -198,9 +212,10 @@ def bootstrap(spark: SparkSession, cat: Catalog, cfg: EngineConfig) -> int:
     # candidates skip the exact frontier anti-join, not just seen's.
     # Initial bitmap size comes from the seed count (upper bound on
     # wave-0 keys); waves grow it as the discovered set grows.
-    nbits0 = bloom.sized_nbits(cfg.n_seeds, cfg, cfg.bloom_nbits)
+    filt = _seen_filter(cfg)
+    nbits0 = filt.sized_nbits(cfg.n_seeds, cfg, cfg.bloom_nbits)
     empty_shards = spark.createDataFrame([], schemas.BLOOM_SHARDS)
-    shards0 = bloom.build_shards(frontier, empty_shards, cfg, nbits=nbits0)
+    shards0 = filt.build_shards(frontier, empty_shards, cfg, nbits=nbits0)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -582,9 +597,10 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     # persist the probed set: BOTH branches below (fresh + maybe) and
     # the backstop broadcasts read it, and without the cache the D1
     # window + probe UDF would re-run once per consumer.
+    filt = _seen_filter(cfg)
     nbits_cur = int(snap.state.get("bloom_nbits", cfg.bloom_nbits))
-    probed = bloom.probe(uniq, shards, cfg, broadcasts=wave_broadcasts,
-                         nbits=nbits_cur).persist()
+    probed = filt.probe(uniq, shards, cfg, broadcasts=wave_broadcasts,
+                        nbits=nbits_cur).persist()
     wave_persists.append(probed)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
@@ -732,28 +748,29 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     # into the full frontier+seen shuffle backstop every later wave.
     # The discovered count is exact and free: frontier ∪ seen partitions
     # the discovered set, so parent row_counts + this wave's unique
-    # candidates bound it.  When the projected fill crosses
-    # bloom.FILL_TARGET, rebuild at the next power of two from the key
+    # candidates bound it.  When the projected fill crosses the
+    # backend's load target (bloom.FILL_TARGET / cuckoo.LOAD_TARGET),
+    # rebuild at the next power of two from the key
     # column of frontier ∪ seen ∪ new (one slim columnar pass, amortized
     # O(discovered) per doubling — the classic growth argument).
     prev_keys = int(snap.row_counts.get("frontier", 0)) + int(
         snap.row_counts.get("seen", 0))
-    if bloom.sized_nbits(prev_keys + n_uniq, cfg, nbits_cur) > nbits_cur:
+    if filt.sized_nbits(prev_keys + n_uniq, cfg, nbits_cur) > nbits_cur:
         # rebuild with 4x headroom so growth costs one rebuild every ~2
         # doublings of the discovered set, not one per wave
-        nbits_next = bloom.sized_nbits(
+        nbits_next = filt.sized_nbits(
             (prev_keys + n_uniq) * 4, cfg, nbits_cur)
         all_keys = (
             seen_updated.select("url_hash")
             .unionByName(frontier_full.select("url_hash"))
             .unionByName(new_read.select("url_hash"))
         )
-        shards_updated = bloom.build_shards(
+        shards_updated = filt.build_shards(
             all_keys, spark.createDataFrame([], schemas.BLOOM_SHARDS),
             cfg, nbits=nbits_next)
     else:
         nbits_next = nbits_cur
-        shards_updated = bloom.build_shards(
+        shards_updated = filt.build_shards(
             new_read, shards, cfg, nbits=nbits_cur)
 
     # ---- hosts: carry-forward split (VERDICT r4 #2) ------------------------

@@ -99,6 +99,24 @@ def test_exact_match_shuffle_backstop(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_exact_match_cuckoo_backend(spark):
+    """The cuckoo seen-filter backend (operators/cuckoo.py, the spec's
+    'bloom/cuckoo' alternative) is a bit-exact drop-in: every parity
+    table — crawl order, seen set, tokens, lineage, frontier — matches
+    the oracle just like the default bloom backend.  The pre-filter
+    only routes candidates between the fresh path and the exact
+    backstop, so ANY no-false-negative filter preserves semantics; this
+    pins that the dispatch surface really is backend-agnostic."""
+    cfg = EngineConfig(n_seeds=25, n_waves=3, n_buckets=32,
+                       seen_filter="cuckoo")
+    cat, root = _run_engine(spark, cfg)
+    try:
+        o = run_oracle(25, 3, 32, cfg.n_hosts)
+        _assert_match(spark, cat, o)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_parallelism_independence(spark):
     """Same input, different shuffle parallelism → identical crawl_log."""
     cfg = EngineConfig(n_seeds=10, n_waves=2, n_buckets=16)

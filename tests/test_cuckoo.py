@@ -1,0 +1,153 @@
+"""Operator tests for the cuckoo-filter URL-seen backend
+(operators/cuckoo.py) — the spec's "bloom/cuckoo" alternative.  Crawl
+drop-in parity is tested where the other backends' parity lives
+(tests/test_crawl_match.py::test_exact_match_cuckoo_backend); this file
+pins the filter semantics themselves: the no-false-negative contract,
+the FPR regime, membership-equivalence of incremental vs from-scratch
+builds, physical-path equivalence (broadcast vs cogroup probe), the
+deletion capability bloom lacks, the fail-loud overfull path, and the
+sizing rule the wave loop's growth check dispatches to."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from commentsearchengine_spark import schemas
+from commentsearchengine_spark.config import EngineConfig
+from commentsearchengine_spark.operators import cuckoo
+
+
+CFG = EngineConfig(bloom_shards=4)
+
+
+def _keys_df(spark, keys: np.ndarray):
+    return spark.createDataFrame(
+        [(int(k),) for k in keys], "url_hash long")
+
+
+def _probe_map(spark, shards, keys: np.ndarray, cfg, nbits: int) -> dict:
+    out = cuckoo.probe(_keys_df(spark, keys), shards, cfg, nbits=nbits)
+    return {r["url_hash"]: r["maybe_seen"] for r in out.collect()}
+
+
+@pytest.fixture(scope="module")
+def keys():
+    rng = np.random.default_rng(42)
+    ins = np.unique(rng.integers(-2**62, 2**62, size=20_000, dtype=np.int64))
+    other = np.unique(
+        rng.integers(-2**62, 2**62, size=20_000, dtype=np.int64))
+    return ins, np.setdiff1d(other, ins)
+
+
+@pytest.fixture(scope="module")
+def built(spark, keys):
+    ins, _ = keys
+    nbits = cuckoo.sized_nbits(len(ins), CFG, 0)
+    empty = spark.createDataFrame([], schemas.BLOOM_SHARDS)
+    shards = cuckoo.build_shards(
+        _keys_df(spark, ins), empty, CFG, nbits=nbits).cache()
+    shards.count()
+    return shards, nbits
+
+
+def test_no_false_negatives(spark, keys, built):
+    ins, _ = keys
+    shards, nbits = built
+    got = _probe_map(spark, shards, ins, CFG, nbits)
+    assert len(got) == len(ins)
+    assert all(got.values()), "cuckoo filter produced a false negative"
+
+
+def test_fpr_bound(spark, keys, built):
+    _, other = keys
+    shards, nbits = built
+    got = _probe_map(spark, shards, other, CFG, nbits)
+    fpr = sum(got.values()) / len(got)
+    # theory: ~2*SLOTS/2^16 ≈ 1.2e-4 at full load; generous margin
+    assert fpr < 0.005, fpr
+
+
+def test_incremental_build_membership_equals_rebuild(spark, keys):
+    """Insertion order changes the stored BYTES (eviction paths) but
+    never membership — the only thing with semantics."""
+    ins, other = keys
+    nbits = cuckoo.sized_nbits(len(ins), CFG, 0)
+    empty = spark.createDataFrame([], schemas.BLOOM_SHARDS)
+    once = cuckoo.build_shards(_keys_df(spark, ins), empty, CFG, nbits=nbits)
+    half = len(ins) // 2
+    steps = cuckoo.build_shards(
+        _keys_df(spark, ins[half:]),
+        cuckoo.build_shards(
+            _keys_df(spark, ins[:half]), empty, CFG, nbits=nbits),
+        CFG, nbits=nbits)
+    sample = np.concatenate([ins, other[:2000]])
+    assert (_probe_map(spark, once, sample, CFG, nbits)
+            == _probe_map(spark, steps, sample, CFG, nbits))
+
+
+def test_broadcast_and_cogroup_paths_agree(spark, keys, built):
+    ins, other = keys
+    shards, nbits = built
+    sample = np.concatenate([ins[:3000], other[:3000]])
+    bcast = _probe_map(spark, shards, sample, CFG, nbits)
+    cfg_cg = EngineConfig(bloom_shards=4, bloom_broadcast_max_bytes=0)
+    cg = _probe_map(spark, shards, sample, cfg_cg, nbits)
+    assert bcast == cg
+
+
+def test_delete_restores_empty_filter(spark, keys, built):
+    ins, other = keys
+    shards, nbits = built
+    emptied = cuckoo.delete_shards(
+        _keys_df(spark, ins), shards, CFG, nbits=nbits).cache()
+    rows = emptied.collect()
+    assert all(
+        np.count_nonzero(np.frombuffer(bytes(r["bits"]), dtype=np.uint16))
+        == 0 for r in rows), "deleting every inserted key must empty it"
+    got = _probe_map(spark, emptied, np.concatenate([ins[:2000], other[:2000]]),
+                     CFG, nbits)
+    assert not any(got.values())
+    emptied.unpersist()
+
+
+def test_sized_nbits_rule():
+    cfg = EngineConfig(bloom_shards=16)
+    for n in (10, 10_000, 5_000_000):
+        nbits = cuckoo.sized_nbits(n, cfg, 0)
+        assert nbits & (nbits - 1) == 0  # power of two
+        capacity = (nbits // (cuckoo.SLOTS * cuckoo.FP_BITS)) * cuckoo.SLOTS
+        assert n / cfg.bloom_shards <= capacity * cuckoo.LOAD_TARGET + 1
+        # grow-never-shrink floor contract (wave resume passes the
+        # snapshot's current size as the floor)
+        assert cuckoo.sized_nbits(n, cfg, nbits * 4) == nbits * 4
+
+
+def test_overfull_insert_fails_loud(spark, keys):
+    """An insert that cannot complete must raise, never drop a
+    fingerprint — a silent drop would be a false negative, the one
+    failure mode the pre-filter may not have."""
+    ins, _ = keys
+    empty = spark.createDataFrame([], schemas.BLOOM_SHARDS)
+    bad = cuckoo.build_shards(
+        _keys_df(spark, ins[:2000]), empty, CFG,
+        nbits=cuckoo.SLOTS * cuckoo.FP_BITS * 2)  # 2 buckets/shard
+    with pytest.raises(Exception, match="overfull"):
+        bad.collect()
+
+
+def test_backend_is_resume_guarded():
+    """seen_filter participates in config_hash: resuming a bloom-built
+    catalog with the cuckoo backend (or vice versa) would misread the
+    shard bytes as false negatives, so the wave loop's config-hash
+    resume guard must see different hashes."""
+    a = EngineConfig(seen_filter="bloom").config_hash()
+    b = EngineConfig(seen_filter="cuckoo").config_hash()
+    assert a != b
+
+
+def test_unknown_backend_rejected(spark):
+    from commentsearchengine_spark.plans.wave import _seen_filter
+
+    with pytest.raises(ValueError, match="seen_filter"):
+        _seen_filter(EngineConfig(seen_filter="xor"))
