@@ -159,18 +159,35 @@ def probe(candidates: DataFrame, shards: DataFrame,
     compute wrong bit positions and produce false negatives — the one
     failure mode bloom must never have.
     """
-    k, n_shards = cfg.bloom_k, cfg.bloom_shards
+    k = cfg.bloom_k
     nbits = cfg.bloom_nbits if nbits is None else nbits
-    total_bytes = n_shards * (nbits // 8)
+    return probe_generic(
+        candidates, shards, cfg, broadcasts,
+        total_bytes=cfg.bloom_shards * (nbits // 8),
+        decode=lambda b: np.frombuffer(b, dtype=np.uint8),
+        contains=lambda bits, uh: _check_bits(bits, uh, nbits, k))
+
+
+def probe_generic(candidates: DataFrame, shards: DataFrame,
+                  cfg: EngineConfig, broadcasts: list | None,
+                  total_bytes: int, decode, contains) -> DataFrame:
+    """The backend-agnostic half of probe(): the broadcast-vs-cogroup
+    strategy switch, the pmod shard routing, the missing-shard ⇒
+    definitely-new convention, and the broadcasts-list contract — shared
+    by the bloom and cuckoo backends so the physical scaffolding exists
+    once.  ``decode(bytes) -> state`` deserializes one shard's stored
+    ``bits`` and ``contains(state, url_hashes) -> bool[n]`` is the
+    membership kernel; both close over their backend's geometry."""
+    n_shards = cfg.bloom_shards
     out_schema = StructType(
         candidates.schema.fields + [StructField("maybe_seen", BooleanType())])
 
     if total_bytes <= cfg.bloom_broadcast_max_bytes:
-        bitmaps = {
-            int(r["shard"]): np.frombuffer(bytes(r["bits"]), dtype=np.uint8)
+        states = {
+            int(r["shard"]): decode(bytes(r["bits"]))
             for r in shards.collect()
         }
-        bc = candidates.sparkSession.sparkContext.broadcast(bitmaps)
+        bc = candidates.sparkSession.sparkContext.broadcast(states)
         if broadcasts is not None:
             broadcasts.append(bc)
 
@@ -182,11 +199,11 @@ def probe(candidates: DataFrame, shards: DataFrame,
                 sh = (uh % n_shards + n_shards) % n_shards  # pmod
                 maybe = np.zeros(len(pdf), dtype=bool)
                 for s in np.unique(sh):
-                    bits = bc.value.get(int(s))
-                    if bits is None:
+                    state = bc.value.get(int(s))
+                    if state is None:
                         continue
                     m = sh == s
-                    maybe[m] = _check_bits(bits, uh[m], nbits, k)
+                    maybe[m] = contains(state, uh[m])
                 pdf["maybe_seen"] = maybe
                 yield pdf
 
@@ -203,9 +220,9 @@ def probe(candidates: DataFrame, shards: DataFrame,
         if not len(shard_pdf):
             cand_pdf["maybe_seen"] = False
             return cand_pdf
-        bits = np.frombuffer(shard_pdf["bits"].iloc[0], dtype=np.uint8)
-        cand_pdf["maybe_seen"] = _check_bits(
-            bits, cand_pdf["url_hash"].to_numpy(), nbits, k)
+        state = decode(bytes(shard_pdf["bits"].iloc[0]))
+        cand_pdf["maybe_seen"] = contains(
+            state, cand_pdf["url_hash"].to_numpy())
         return cand_pdf
 
     return (

@@ -56,11 +56,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import BooleanType, StructField, StructType
 
 from .. import schemas
 from ..config import EngineConfig
-from .bloom import release_broadcasts, shard_col  # shared surface
+from .bloom import probe_generic, release_broadcasts, shard_col
 
 __all__ = [
     "sized_nbits", "build_shards", "probe", "delete_shards",
@@ -87,16 +86,32 @@ def sized_nbits(n_keys: int, cfg: EngineConfig, floor_nbits: int) -> int:
     keys_per_shard = n_keys / max(1, cfg.bloom_shards)
     need_buckets = keys_per_shard / (SLOTS * LOAD_TARGET)
     nbits = max(_BITS_PER_BUCKET, floor_nbits, cfg.bloom_nbits)
+    # the bucket masks (i1 = h & (nbuckets-1), XOR jump) REQUIRE a
+    # power-of-two bucket count; bloom tolerates any nbits (it reduces
+    # `% nbits`), so a non-pow2 configured floor must round UP here or
+    # only the submask-indexed buckets would ever be addressable
+    if nbits & (nbits - 1):
+        nbits = 1 << nbits.bit_length()
     while nbits // _BITS_PER_BUCKET < need_buckets:
         nbits *= 2
     return nbits
 
 
 def _fingerprints(url_hashes: np.ndarray, nbuckets: int):
-    """(fp uint16≠0, i1, i2) — bucket pair via the partial-key XOR."""
+    """(fp uint16≠0, i1, i2) — bucket pair via the partial-key XOR.
+
+    The fingerprint comes from bits 16–31, DISJOINT from both the
+    shard-routing bits (``pmod(url_hash, n_shards)`` == the low
+    log2(n_shards) bits for pow2 shard counts — reusing those would
+    make the low fp bits constant within a shard and multiply the FPR
+    by n_shards) and the bucket-index bits (the high 32)."""
+    if nbuckets & (nbuckets - 1):
+        raise ValueError(
+            f"cuckoo bucket count must be a power of two, got {nbuckets} "
+            "(nbits must come from cuckoo.sized_nbits)")
     uh = url_hashes.astype(np.int64).astype(np.uint64)
     h1 = (uh >> np.uint64(32)) & np.uint64(0xFFFFFFFF)
-    fp = (uh & np.uint64(0xFFFF)).astype(np.uint16)
+    fp = ((uh >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.uint16)
     fp[fp == 0] = 1  # 0 is the empty-slot sentinel
     mask = np.uint64(nbuckets - 1)
     i1 = (h1 & mask).astype(np.int64)
@@ -140,7 +155,11 @@ def _insert(table: np.ndarray, url_hashes: np.ndarray, nbuckets: int) -> None:
     """Insert all keys into ``table`` (nbuckets x SLOTS uint16,
     mutated).  Two vectorized passes, then the eviction walk for the
     residual; raises rather than drop a fingerprint (no-false-negative
-    contract)."""
+    contract).  Unlike bloom's idempotent bitmap OR, a cuckoo insert
+    consumes a slot per call, so duplicate keys within a batch are
+    deduped here (engine callers already pass distinct keys; this keeps
+    capacity accounting honest for any caller)."""
+    url_hashes = np.unique(url_hashes)
     fp, i1, i2 = _fingerprints(url_hashes, nbuckets)
     # left-pack each bucket's occupied slots first: deletion can leave
     # holes, and _batch_place assigns slots as occ+rank assuming the
@@ -218,66 +237,18 @@ def build_shards(new_urls: DataFrame, shards: DataFrame,
 def probe(candidates: DataFrame, shards: DataFrame,
           cfg: EngineConfig, broadcasts: list | None = None,
           nbits: int | None = None) -> DataFrame:
-    """Adds boolean ``maybe_seen`` (bloom.probe twin, same two physical
-    strategies: broadcast the shard tables below
+    """Adds boolean ``maybe_seen`` — bloom.probe twin via the shared
+    bloom.probe_generic scaffolding (broadcast the shard tables below
     cfg.bloom_broadcast_max_bytes total, else cogroup so each task
-    holds one shard's table)."""
-    n_shards = cfg.bloom_shards
+    holds one shard's table); only the decode/membership kernels are
+    cuckoo-specific."""
     nbits = cfg.bloom_nbits if nbits is None else nbits
     nbuckets = nbits // _BITS_PER_BUCKET
-    total_bytes = n_shards * (nbits // 8)
-    out_schema = StructType(
-        candidates.schema.fields + [StructField("maybe_seen", BooleanType())])
-
-    if total_bytes <= cfg.bloom_broadcast_max_bytes:
-        tables = {
-            int(r["shard"]): _decode(bytes(r["bits"]), nbits)
-            for r in shards.collect()
-        }
-        bc = candidates.sparkSession.sparkContext.broadcast(tables)
-        if broadcasts is not None:
-            broadcasts.append(bc)
-
-        def probe_map(pdfs):
-            for pdf in pdfs:
-                if not len(pdf):
-                    continue
-                uh = pdf["url_hash"].to_numpy()
-                sh = (uh % n_shards + n_shards) % n_shards  # pmod
-                maybe = np.zeros(len(pdf), dtype=bool)
-                for s in np.unique(sh):
-                    table = bc.value.get(int(s))
-                    if table is None:
-                        continue
-                    m = sh == s
-                    maybe[m] = _contains(table, uh[m], nbuckets)
-                pdf["maybe_seen"] = maybe
-                yield pdf
-
-        return candidates.mapInPandas(probe_map, schema=out_schema)
-
-    cands = candidates.withColumn(
-        "shard", shard_col(F.col("url_hash"), n_shards))
-    grouped_schema = StructType(
-        cands.schema.fields + [StructField("maybe_seen", BooleanType())])
-
-    def fn(key, cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(cand_pdf):
-            return pd.DataFrame(columns=[f.name for f in grouped_schema.fields])
-        if not len(shard_pdf):
-            cand_pdf["maybe_seen"] = False
-            return cand_pdf
-        table = _decode(shard_pdf["bits"].iloc[0], nbits)
-        cand_pdf["maybe_seen"] = _contains(
-            table, cand_pdf["url_hash"].to_numpy(), nbuckets)
-        return cand_pdf
-
-    return (
-        cands.groupBy("shard")
-        .cogroup(shards.groupBy("shard"))
-        .applyInPandas(fn, schema=grouped_schema)
-        .drop("shard")
-    )
+    return probe_generic(
+        candidates, shards, cfg, broadcasts,
+        total_bytes=cfg.bloom_shards * (nbits // 8),
+        decode=lambda b: _decode(b, nbits),
+        contains=lambda table, uh: _contains(table, uh, nbuckets))
 
 
 def delete_shards(del_urls: DataFrame, shards: DataFrame,
@@ -300,12 +271,23 @@ def delete_shards(del_urls: DataFrame, shards: DataFrame,
     def fn(key, del_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
         (shard,) = key
         if not len(shard_pdf):
-            return pd.DataFrame(columns=[f.name for f in
-                                         schemas_bloom_fields()])
+            # deletes routed to a never-built shard: nothing was ever
+            # inserted there, so there is nothing to emit (and under
+            # the precondition nothing to delete)
+            return pd.DataFrame(
+                {"shard": pd.Series([], dtype="int32"),
+                 "nbits": pd.Series([], dtype="int64"),
+                 "k": pd.Series([], dtype="int32"),
+                 "bits": pd.Series([], dtype=object)})
         table = _decode(shard_pdf["bits"].iloc[0], nbits)
         if len(del_pdf):
-            fp, i1, i2 = _fingerprints(
-                del_pdf["url_hash"].to_numpy(), nbuckets)
+            # dedupe symmetrically with _insert's batch dedup: one
+            # stored fingerprint per distinct key means one removal per
+            # distinct key — processing a duplicate again could strip a
+            # COLLIDING key's fingerprint (a manufactured false
+            # negative, the one forbidden failure mode)
+            keys = np.unique(del_pdf["url_hash"].to_numpy())
+            fp, i1, i2 = _fingerprints(keys, nbuckets)
             for j in range(len(fp)):
                 for bucket in (i1[j], i2[j]):
                     slots = np.flatnonzero(table[bucket] == fp[j])
@@ -321,7 +303,3 @@ def delete_shards(del_urls: DataFrame, shards: DataFrame,
         .cogroup(shards.groupBy("shard"))
         .applyInPandas(fn, schema=schemas.BLOOM_SHARDS)
     )
-
-
-def schemas_bloom_fields() -> list[str]:
-    return [s.split()[0] for s in schemas.BLOOM_SHARDS.split(", ")]

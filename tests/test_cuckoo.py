@@ -111,6 +111,61 @@ def test_delete_restores_empty_filter(spark, keys, built):
     emptied.unpersist()
 
 
+def test_delete_routed_to_never_built_shard(spark, keys):
+    """A delete batch whose keys pmod into a shard that was never built
+    (nothing inserted there) must pass the other shards through
+    unchanged instead of crashing — regression for the empty-branch
+    AttributeError found in review."""
+    ins, _ = keys
+    nbits = cuckoo.sized_nbits(len(ins), CFG, 0)
+    empty = spark.createDataFrame([], schemas.BLOOM_SHARDS)
+    # build ONLY shard 0's keys; then delete keys spread over ALL
+    # shards, so shards 1..3 hit the del-present/shard-absent branch
+    sh = (ins % CFG.bloom_shards + CFG.bloom_shards) % CFG.bloom_shards
+    shard0 = ins[sh == 0]
+    built0 = cuckoo.build_shards(
+        _keys_df(spark, shard0), empty, CFG, nbits=nbits)
+    dels = np.concatenate([shard0[:50], ins[sh != 0][:150]])
+    out = cuckoo.delete_shards(
+        _keys_df(spark, dels), built0, CFG, nbits=nbits)
+    rows = {r["shard"]: r for r in out.collect()}
+    assert set(rows) == {0}  # never-built shards emit nothing
+    got = _probe_map(spark, out, shard0[:50], CFG, nbits)
+    assert sum(got.values()) <= 2  # deleted (colliding fps may remain)
+    kept = _probe_map(spark, out, shard0[50:500], CFG, nbits)
+    assert all(kept.values())  # undeleted keys untouched
+
+
+def test_nonpow2_floor_rounds_up(spark, keys):
+    """bloom tolerates any nbits (modulo reduction); cuckoo's masks
+    need pow2 — a non-pow2 configured floor must round up, not
+    silently collapse the addressable bucket space (review finding)."""
+    ins, _ = keys
+    nbits = cuckoo.sized_nbits(len(ins), CFG, 1_000_000)
+    assert nbits & (nbits - 1) == 0 and nbits >= 1_000_000
+    with pytest.raises(ValueError, match="power of two"):
+        cuckoo._fingerprints(np.array([1], dtype=np.int64), 1000)
+
+
+def test_fpr_with_pow2_shard_count(spark):
+    """Fingerprint bits must be disjoint from the pmod shard-routing
+    bits: with bloom_shards=16 (pow2 ⇒ routing == low 4 bits) a
+    fingerprint taken from the low 16 bits would have 4 constant bits
+    per shard and ~16x the rated FPR (review finding).  1e-3 cleanly
+    separates the rated ~1.2e-4 from the degraded ~2e-3."""
+    cfg = EngineConfig(bloom_shards=16)
+    rng = np.random.default_rng(7)
+    ins = np.unique(rng.integers(-2**62, 2**62, size=40_000, dtype=np.int64))
+    other = np.setdiff1d(np.unique(
+        rng.integers(-2**62, 2**62, size=60_000, dtype=np.int64)), ins)
+    nbits = cuckoo.sized_nbits(len(ins), cfg, 0)
+    empty = spark.createDataFrame([], schemas.BLOOM_SHARDS)
+    shards = cuckoo.build_shards(_keys_df(spark, ins), empty, cfg,
+                                 nbits=nbits)
+    got = _probe_map(spark, shards, other, cfg, nbits)
+    assert sum(got.values()) / len(got) < 1e-3
+
+
 def test_sized_nbits_rule():
     cfg = EngineConfig(bloom_shards=16)
     for n in (10, 10_000, 5_000_000):
