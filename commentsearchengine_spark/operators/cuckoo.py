@@ -25,11 +25,13 @@ the wave loop's grow-on-projected-fill rule are shared verbatim.
 Vectorized insert (no per-row Python in the common case): a batch pass
 places every key whose primary bucket has room (sort by bucket +
 segment-rank → slot assignment), a second pass does the same for the
-alternate bucket, and only the residual — empirically ~0 below the
-LOAD_TARGET the sizing rule enforces — walks the classic eviction loop
-(deterministic round-robin victim, so rebuilds are reproducible given
-the same insertion order).  Lookup and deletion are fully vectorized
-gathers/compares.
+alternate bucket, and only the residual walks the classic eviction
+loop (deterministic round-robin victim, so rebuilds are reproducible
+given the same insertion order).  Measured per shard task on this VM:
+2.7–2.8M keys/s insert end-to-end, 9.5–13M keys/s lookup, with the
+eviction residual 2.5e-4–4.4e-3 of keys at the loads the sizing rule
+allows (≤ LOAD_TARGET) — the Python loop touches ≲0.5% of keys.
+Lookup and deletion are fully vectorized gathers/compares.
 
 Semantics contract (identical to bloom's): ``maybe_seen == False`` ⇒
 definitely new — an inserted key is ALWAYS findable (cuckoo filters
