@@ -192,6 +192,24 @@ def _insert(table: np.ndarray, url_hashes: np.ndarray, nbuckets: int) -> None:
                 "create a false negative")
 
 
+def _delete(table: np.ndarray, url_hashes: np.ndarray,
+            nbuckets: int) -> None:
+    """Remove one stored fingerprint per DISTINCT key (mutates
+    ``table``).  Deduped symmetrically with _insert's batch dedup: one
+    stored fingerprint per distinct key means one removal per distinct
+    key — processing a duplicate again could strip a COLLIDING key's
+    fingerprint (a manufactured false negative, the one forbidden
+    failure mode)."""
+    keys = np.unique(url_hashes)
+    fp, i1, i2 = _fingerprints(keys, nbuckets)
+    for j in range(len(fp)):
+        for bucket in (i1[j], i2[j]):
+            slots = np.flatnonzero(table[bucket] == fp[j])
+            if len(slots):
+                table[bucket, slots[0]] = 0
+                break
+
+
 def _contains(table: np.ndarray, url_hashes: np.ndarray,
               nbuckets: int) -> np.ndarray:
     fp, i1, i2 = _fingerprints(url_hashes, nbuckets)
@@ -283,19 +301,7 @@ def delete_shards(del_urls: DataFrame, shards: DataFrame,
                  "bits": pd.Series([], dtype=object)})
         table = _decode(shard_pdf["bits"].iloc[0], nbits)
         if len(del_pdf):
-            # dedupe symmetrically with _insert's batch dedup: one
-            # stored fingerprint per distinct key means one removal per
-            # distinct key — processing a duplicate again could strip a
-            # COLLIDING key's fingerprint (a manufactured false
-            # negative, the one forbidden failure mode)
-            keys = np.unique(del_pdf["url_hash"].to_numpy())
-            fp, i1, i2 = _fingerprints(keys, nbuckets)
-            for j in range(len(fp)):
-                for bucket in (i1[j], i2[j]):
-                    slots = np.flatnonzero(table[bucket] == fp[j])
-                    if len(slots):
-                        table[bucket, slots[0]] = 0
-                        break
+            _delete(table, del_pdf["url_hash"].to_numpy(), nbuckets)
         return pd.DataFrame(
             {"shard": [shard], "nbits": [nbits], "k": [SLOTS],
              "bits": [table.tobytes()]})

@@ -191,6 +191,54 @@ def test_overfull_insert_fails_loud(spark, keys):
         bad.collect()
 
 
+def test_model_based_no_false_negatives_under_insert_delete():
+    """Model-based property check of the numpy kernels: across random
+    interleavings of insert/delete batches (with duplicate keys inside
+    batches and re-insertions across batches), every key the model says
+    is live (inserted more often than deleted) must probe True — the
+    no-false-negative contract under the documented delete
+    precondition.  The reverse direction (dead keys probing False) is
+    deliberately NOT asserted: false positives are allowed by design."""
+    from hypothesis import given, settings, strategies as st
+
+    nbuckets = 1024  # 4096 slots; pools below keep load well under 1
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng_keys = data.draw(st.lists(
+            st.integers(min_value=-2**62, max_value=2**62),
+            min_size=1, max_size=300, unique=True))
+        pool = np.array(rng_keys, dtype=np.int64)
+        table = np.zeros((nbuckets, cuckoo.SLOTS), dtype=np.uint16)
+        live: dict[int, int] = {}
+        for _ in range(data.draw(st.integers(1, 6))):
+            candidates = [k for k, c in live.items() if c > 0]
+            if candidates and data.draw(st.booleans()):
+                batch = data.draw(st.lists(
+                    st.sampled_from(candidates), min_size=1,
+                    max_size=len(candidates)))
+                distinct = set(batch)
+                cuckoo._delete(
+                    table, np.array(batch, dtype=np.int64), nbuckets)
+                for k in distinct:
+                    live[k] -= 1
+            else:
+                batch = data.draw(st.lists(
+                    st.sampled_from(list(pool)), min_size=1, max_size=100))
+                distinct = set(batch)
+                cuckoo._insert(
+                    table, np.array(batch, dtype=np.int64), nbuckets)
+                for k in distinct:
+                    live[k] = live.get(k, 0) + 1
+            alive = np.array([k for k, c in live.items() if c > 0],
+                             dtype=np.int64)
+            if len(alive):
+                assert cuckoo._contains(table, alive, nbuckets).all()
+
+    run()
+
+
 def test_backend_is_resume_guarded():
     """seen_filter participates in config_hash: resuming a bloom-built
     catalog with the cuckoo backend (or vice versa) would misread the
