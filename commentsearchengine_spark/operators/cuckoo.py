@@ -106,7 +106,14 @@ def _fingerprints(url_hashes: np.ndarray, nbuckets: int):
     shard-routing bits (``pmod(url_hash, n_shards)`` == the low
     log2(n_shards) bits for pow2 shard counts — reusing those would
     make the low fp bits constant within a shard and multiply the FPR
-    by n_shards) and the bucket-index bits (the high 32)."""
+    by n_shards) and the bucket-index bits (the high 32).
+
+    ASSUMES uniform keys: ``url_hash`` is murmur64(canon_url)
+    everywhere in the engine, so raw bit-slices are uniform and the
+    classic load-factor analysis applies.  Adversarially non-uniform
+    keys (e.g. small consecutive ints, whose slices all collapse to
+    fp=1/bucket=0) can overfill one bucket pair — that path fails loud
+    via _insert's overfull raise rather than dropping a fingerprint."""
     if nbuckets & (nbuckets - 1):
         raise ValueError(
             f"cuckoo bucket count must be a power of two, got {nbuckets} "

@@ -49,9 +49,11 @@ def compact_table(spark: SparkSession, cat: Catalog, table: str,
     frontier file would straddle priorities and blunt the cut.
 
     No-op (returns the current state) when the table already has fewer
-    than ``min_files`` files — compacting tiny tables only churns
-    snapshots.  Returns a summary dict with before/after file counts
-    and the new snapshot id.
+    than ``min_files`` files, or when the row-proportional output
+    target would not be SMALLER than the current file count —
+    compacting tiny or already-compact tables only churns snapshots.
+    Returns a summary dict with before/after file counts and the new
+    snapshot id.
     """
     snap = cat.load_snapshot()
     entries = cat.table_files(table)
@@ -61,20 +63,30 @@ def compact_table(spark: SparkSession, cat: Catalog, table: str,
                 "files_after": n_files, "compacted": False,
                 "snapshot_id": None if snap is None else snap.snapshot_id}
     total_rows = sum(e.get("rows") or 0 for e in entries)
-    parts = max(
-        spark.sparkContext.defaultParallelism,
-        min(1024, total_rows // rows_per_file + 1))
+    # row-proportional target WITHOUT the wave writes' parallelism
+    # floor: compaction exists to REDUCE file count, and flooring at
+    # defaultParallelism would let a small-but-fragmented table come
+    # out with MORE files than it had (32-core driver, 10 files, 500k
+    # rows -> 32 outputs).  This is an offline/between-waves op, so
+    # write-task count may legitimately sit below the core count.
+    parts = min(1024, total_rows // rows_per_file + 1)
+    if parts >= n_files:
+        # projected output would not shrink the table — same no-churn
+        # contract as the min_files guard above
+        return {"table": table, "files_before": n_files,
+                "files_after": n_files, "compacted": False,
+                "snapshot_id": None if snap is None else snap.snapshot_id}
     df = cat.scan_entries(spark, entries, schema_ddl)
     partition_cols: list[str] | None = None
     if cluster_col is not None:
-        # same static power-of-two segmentation as plans/wave._with_hseg
-        # (murmur64 hashes are uniform; no sampling job): one directory
-        # per segment so each output file's cluster_col [min, max]
-        # collapses to a narrow range for manifest pruning
-        k = max(1, (max(2, parts) - 1).bit_length())
-        df = df.withColumn(
-            "_hseg", F.shiftright(cluster_col, 64 - k)
-        ).repartition(parts, "_hseg")
+        # one directory per contiguous hash segment so each output
+        # file's cluster_col [min, max] collapses to a narrow range for
+        # manifest pruning — the exact layout every reader expects,
+        # via the same helper the wave writes use
+        from .wave import _with_hseg
+
+        df = _with_hseg(df, parts, col=cluster_col).repartition(
+            parts, "_hseg")
         partition_cols = ["_hseg"]
         if tier_col is not None:
             df = df.withColumn("_tier", F.col(tier_col))

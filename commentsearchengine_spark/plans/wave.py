@@ -899,6 +899,18 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
             ).repartition(hosts_parts, "_hseg"),
             "stage-append", ["_hseg"]))
 
+    def next_want_value() -> int | None:
+        """Exact Σ next-wave need, but only on full-rewrite waves (with
+        carried hosts files the Observation covers only the rewritten
+        rows); None ⇒ the next admission computes it itself (one small
+        hosts aggregate).  The guard order matters twice over: reading
+        a never-fired Observation blocks forever, and this single
+        definition serves BOTH the speculative admission and the commit
+        state — a divergence between those two would let an adopted
+        speculation rank with a different want than a fresh one."""
+        return (int(want_obs.get["next_want"] or 0)
+                if hosts_write_needed and not hosts_carried else None)
+
     with ThreadPoolExecutor(max_workers=len(writes)) as pool:
         futs = {
             name: pool.submit(
@@ -935,12 +947,10 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
                 hosts_fut = futs.get("hosts")
                 hosts_entries = hosts_carried + (
                     hosts_fut.result() if hosts_fut is not None else [])
-                # with carried files the next-want Observation covers
-                # only the rewritten rows — pass None and let
-                # admit_pruned compute the exact Σ need itself
-                want_next = (
-                    int(want_obs.get["next_want"] or 0)
-                    if hosts_write_needed and not hosts_carried else None)
+                # (see next_want_value: safe here because the hosts
+                # future, whose write fires the Observation, has just
+                # resolved — or the guard short-circuits to None)
+                want_next = next_want_value()
                 hosts_next_read = admission.effective_tokens(
                     cat.scan_entries(spark, hosts_entries, schemas.HOSTS),
                     wave)
@@ -976,11 +986,7 @@ def _run_wave(spark: SparkSession, cat: Catalog, cfg: EngineConfig,
     # reading a never-fired Observation would block forever — the quiet
     # wave skipped the write, so its count is definitionally 0
     n_new = int(new_obs.get["n"] or 0) if n_new_bound > 0 else 0
-    # exact only on full-rewrite waves; None => next wave's admission
-    # computes Σ need itself (one small hosts aggregate)
-    next_want = (
-        int(want_obs.get["next_want"] or 0)
-        if hosts_write_needed and not hosts_carried else None)
+    next_want = next_want_value()
     wall = time.monotonic() - t0
     metrics = {
         "wave": wave, "admitted": n_admitted, "new_frontier": n_new,

@@ -388,20 +388,34 @@ def q_icelite_compact(spark: SparkSession, sf: str) -> DataFrame:
     Rows-only (a maintenance action, not SQL); content preservation is
     additionally pytest-gated with full oracle parity across a
     compaction (tests/test_maintenance.py)."""
+    import shutil
+
     from ..plans.maintenance import compact_table
 
-    cat = _demo_catalog(spark)  # safe to mutate: compaction is content-preserving
-    files_before = len(cat.table_files("seen"))
-    rows_before = cat.scan(spark, "seen", schema_ddl=schemas.SEEN).count()
-    out = compact_table(spark, cat, "seen", schemas.SEEN,
-                        cluster_col="url_hash", min_files=2)
-    rows_after = cat.scan(spark, "seen", schema_ddl=schemas.SEEN).count()
-    return spark.createDataFrame(
-        [(files_before, len(cat.table_files("seen")), bool(out["compacted"]),
-          int(rows_before), int(rows_after), rows_before == rows_after)],
-        "files_before int, files_after int, compacted boolean, "
-        "rows_before long, rows_after long, content_preserved boolean",
-    )
+    # compact a THROWAWAY COPY of the demo catalog: compaction is
+    # content-preserving, but it COMMITS — repeat invocations against
+    # the shared cached catalog would grow its snapshot count and disk
+    # linearly and make the reported file counts run-order-dependent
+    src = _demo_catalog(spark)
+    root = tempfile.mkdtemp(prefix="cse_demo_compact_")
+    try:
+        shutil.rmtree(root)
+        shutil.copytree(src.root, root)
+        cat = Catalog(root)
+        files_before = len(cat.table_files("seen"))
+        rows_before = cat.scan(spark, "seen", schema_ddl=schemas.SEEN).count()
+        out = compact_table(spark, cat, "seen", schemas.SEEN,
+                            cluster_col="url_hash", min_files=2)
+        rows_after = cat.scan(spark, "seen", schema_ddl=schemas.SEEN).count()
+        return spark.createDataFrame(
+            [(files_before, len(cat.table_files("seen")),
+              bool(out["compacted"]),
+              int(rows_before), int(rows_after), rows_before == rows_after)],
+            "files_before int, files_after int, compacted boolean, "
+            "rows_before long, rows_after long, content_preserved boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 QUERIES: dict[str, tuple] = {

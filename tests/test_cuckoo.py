@@ -203,13 +203,26 @@ def test_model_based_no_false_negatives_under_insert_delete():
 
     nbuckets = 1024  # 4096 slots; pools below keep load well under 1
 
+    def mix64(x: int) -> int:
+        """splitmix64 finalizer: engine keys are murmur64(url) — uniform
+        over int64 — and the kernel's raw fp/bucket bit-slices assume
+        that (hypothesis biases raw draws toward small ints, which all
+        collapse to fp=1/bucket=0 and legitimately overfill a bucket
+        pair — the raise-don't-drop path, not a membership bug)."""
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        return x - 2**64 if x >= 2**63 else x
+
     @settings(max_examples=40, deadline=None)
     @given(st.data())
     def run(data):
         rng_keys = data.draw(st.lists(
             st.integers(min_value=-2**62, max_value=2**62),
             min_size=1, max_size=300, unique=True))
-        pool = np.array(rng_keys, dtype=np.int64)
+        pool = np.array(sorted({mix64(k) for k in rng_keys}),
+                        dtype=np.int64)
         table = np.zeros((nbuckets, cuckoo.SLOTS), dtype=np.uint16)
         live: dict[int, int] = {}
         for _ in range(data.draw(st.integers(1, 6))):
