@@ -1075,6 +1075,13 @@ def run_crawl(spark: SparkSession, root: str, cfg: EngineConfig) -> Catalog:
                               cluster_col="url_hash",
                               rows_per_file=cfg.write_rows_per_file)
                 snap = cat.load_snapshot()
+    except BaseException:
+        # a wave that failed after partial staging must not leave its
+        # file lists to be pinned by a later commit on this Catalog
+        # object (tests/demos reuse them); the staged parquet becomes
+        # orphans for sweep_orphans
+        cat.discard_staged()
+        raise
     finally:
         _discard_handoff(handoff_slot[0])
         handoff_slot[0] = None

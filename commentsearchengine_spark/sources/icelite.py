@@ -7,11 +7,18 @@ scratch:
 
 - **Snapshot isolation + atomic commit**: writers stage Parquet data
   files under ``data/``, then atomically ``os.rename`` a new JSON
-  manifest (``metadata/snap-{n}.json``) and flip ``metadata/current``.
-  Readers resolve ``current`` (or an explicit snapshot id — time travel)
-  and read exactly that file list.  A crash between data write and
-  rename leaves the previous snapshot intact; orphaned data files are
-  unreachable and swept lazily.
+  manifest (``metadata/snap-{n}.json``), fsync the directory, and only
+  then flip ``metadata/current`` (the ordering matters: a power loss
+  must never leave a durable pointer to a non-durable manifest).
+  Readers resolve ``current`` (or an explicit snapshot id — time
+  travel) and read exactly that file list.  A crash between data write
+  and rename leaves the previous snapshot intact; orphaned data files
+  are unreachable and reclaimed by the explicit maintenance pair
+  ``expire_snapshots`` + ``sweep_orphans`` (the Iceberg
+  expire_snapshots / remove_orphan_files analogue).  Data-file
+  durability itself is the filesystem's: Spark's committer does not
+  fsync parquet files, same as a real deployment delegating to
+  HDFS/object-store sync semantics.
 - **Multi-table checkpoint**: one snapshot pins the file lists of ALL
   engine tables plus the wave counter, config hash, and metrics —
   that is the crawl checkpoint (BASELINE.json:6,14 "resumable from
@@ -206,6 +213,13 @@ class Catalog:
     # stage_write is called concurrently from driver threads (wave writes
     # of independent tables overlap — plans/wave.py); guard the staging map
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+    # parsed-manifest cache: manifests are IMMUTABLE once renamed into
+    # place, and one wave issues ~10 load_snapshot calls (scans,
+    # table_files, the commit's parent read) — re-parsing a 10^4-entry
+    # JSON each time is pure driver overhead.  Returned Snapshots must
+    # be treated as read-only (every caller is; grep'd per review).
+    _snap_cache: dict[int, Snapshot] = field(
+        default_factory=dict, repr=False)
 
     # ----------------------------------------------------------- layout
     @property
@@ -236,9 +250,18 @@ class Catalog:
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
         if sid is None:
             return None
+        with self._lock:
+            snap = self._snap_cache.get(sid)
+        if snap is not None:
+            return snap
         with open(self._snap_path(sid)) as f:
             d = json.load(f)
-        return Snapshot(**d)
+        snap = Snapshot(**d)
+        with self._lock:
+            if len(self._snap_cache) >= 8:  # bound driver memory
+                self._snap_cache.pop(next(iter(self._snap_cache)))
+            self._snap_cache[sid] = snap
+        return snap
 
     def snapshots(self) -> list[int]:
         if not os.path.isdir(self._meta_dir):
@@ -270,7 +293,12 @@ class Catalog:
         if where:
             entries = [e for e in entries if _may_match(e, where)]
         if not entries:
-            assert schema_ddl is not None, f"empty table {table} needs schema"
+            if schema_ddl is None:
+                # not an assert: pruning can empty a NON-empty table
+                # data-dependently (a where that excludes every file),
+                # and asserts vanish under python -O
+                raise ValueError(
+                    f"empty scan of table {table!r} needs schema_ddl")
             return spark.createDataFrame([], schema_ddl)
         paths = [os.path.join(self.root, _entry_path(e)) for e in entries]
         reader = spark.read
@@ -336,6 +364,11 @@ class Catalog:
         callers can hand them to ``scan_entries`` to re-read exactly
         this write's output (column-pruned) without caching the input
         DataFrame."""
+        if mode not in ("append", "overwrite", "stage-append"):
+            # an unknown mode falling through to overwrite semantics
+            # would silently drop the table's entire file set at the
+            # next commit — fail loud instead
+            raise ValueError(f"unknown stage_write mode {mode!r}")
         rel_dir = os.path.join("data", table, uuid.uuid4().hex[:12])
         out_dir = os.path.join(self.root, rel_dir)
         if partitions is not None:
@@ -368,42 +401,144 @@ class Catalog:
             self._staged[table] = prev + entries
         return entries
 
+    def discard_staged(self) -> None:
+        """Drop every staged-but-uncommitted entry.  Call on an abort
+        path before reusing the Catalog object: only commit() otherwise
+        clears staging, so a failed multi-table operation would leave
+        its partial file lists to be silently pinned by the NEXT commit
+        (with a stale wave counter).  The staged data files themselves
+        become orphans, reclaimed by sweep_orphans."""
+        with self._lock:
+            self._staged = {}
+
     def commit(self, wave: int, state: dict[str, Any] | None = None,
                metrics: dict[str, Any] | None = None,
                carry_tables: list[str] | None = None) -> int:
         """Atomically publish one snapshot pinning every staged table plus
-        (optionally) unchanged tables carried over from the parent."""
-        parent = self.load_snapshot()
-        parent_id = None if parent is None else parent.snapshot_id
-        sid = 1 if parent_id is None else parent_id + 1
-        tables: dict[str, list[str]] = {}
-        if parent is not None:
-            for t in (carry_tables if carry_tables is not None
-                      else list(parent.tables)):
-                if t in parent.tables:
-                    tables[t] = parent.tables[t]
-        for t, entries in self._staged.items():
-            tables[t] = entries
-        row_counts = {
-            t: sum(e.get("rows") or 0 for e in ents if isinstance(e, dict))
-            for t, ents in tables.items()
-        }
-        snap = Snapshot(
-            snapshot_id=sid, parent_id=parent_id, wave=wave, tables=tables,
-            row_counts=row_counts, state=state or {}, metrics=metrics or {},
-            created_at=time.time())
-        tmp = self._snap_path(sid) + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(snap.__dict__, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, self._snap_path(sid))  # atomic publish
-        ptr_tmp = os.path.join(self._meta_dir, f"current.tmp-{uuid.uuid4().hex[:8]}")
-        with open(ptr_tmp, "w") as f:
-            f.write(str(sid))
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(ptr_tmp, os.path.join(self._meta_dir, "current"))
-        _fsync_dir(self._meta_dir)
-        self._staged = {}
+        (optionally) unchanged tables carried over from the parent.
+
+        Commit takes OWNERSHIP of the staging map at entry (under the
+        lock): a stage_write racing past the caller's barrier stages
+        for the NEXT commit instead of being dropped or corrupting the
+        iteration.  On failure the taken entries are restored for any
+        table not re-staged since (best effort — the catalog is
+        normally abandoned on a failed commit)."""
+        with self._lock:
+            staged = self._staged
+            self._staged = {}
+        try:
+            parent = self.load_snapshot()
+            parent_id = None if parent is None else parent.snapshot_id
+            sid = 1 if parent_id is None else parent_id + 1
+            tables: dict[str, list[str]] = {}
+            if parent is not None:
+                for t in (carry_tables if carry_tables is not None
+                          else list(parent.tables)):
+                    if t in parent.tables:
+                        tables[t] = parent.tables[t]
+            for t, entries in staged.items():
+                tables[t] = entries
+            row_counts = {
+                t: sum(e.get("rows") or 0 for e in ents if isinstance(e, dict))
+                for t, ents in tables.items()
+            }
+            snap = Snapshot(
+                snapshot_id=sid, parent_id=parent_id, wave=wave,
+                tables=tables, row_counts=row_counts, state=state or {},
+                metrics=metrics or {}, created_at=time.time())
+            tmp = self._snap_path(sid) + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(snap.__dict__, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, self._snap_path(sid))  # atomic publish
+            # make the manifest's dirent durable BEFORE the pointer can
+            # reference it: POSIX does not order the durability of two
+            # renames, and a power loss with current→sid durable but
+            # snap-sid.json not would brick every subsequent resume
+            _fsync_dir(self._meta_dir)
+            ptr_tmp = os.path.join(
+                self._meta_dir, f"current.tmp-{uuid.uuid4().hex[:8]}")
+            with open(ptr_tmp, "w") as f:
+                f.write(str(sid))
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(ptr_tmp, os.path.join(self._meta_dir, "current"))
+            _fsync_dir(self._meta_dir)
+        except BaseException:
+            with self._lock:
+                for t, entries in staged.items():
+                    self._staged.setdefault(t, entries)
+            raise
         return sid
+
+    # ------------------------------------------------------ maintenance
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Remove old snapshot manifests, keeping the ``keep_last`` most
+        recent (the current snapshot is always kept) — the Iceberg
+        ``expire_snapshots`` analogue.  Time travel to expired ids stops
+        working; data files they referenced become orphans once no
+        remaining snapshot lists them (reclaim with sweep_orphans).
+        Crash-safe: each removal is a single unlink and readers only
+        follow ``current``."""
+        ids = self.snapshots()
+        cur = self.current_snapshot_id()
+        keep = set(ids[-max(1, keep_last):])
+        if cur is not None:
+            keep.add(cur)
+        removed = [i for i in ids if i not in keep]
+        for i in removed:
+            os.remove(self._snap_path(i))
+            with self._lock:
+                self._snap_cache.pop(i, None)
+        if removed:
+            _fsync_dir(self._meta_dir)
+        return {"removed": removed, "kept": sorted(keep)}
+
+    def sweep_orphans(self, grace_seconds: float = 300.0) -> dict:
+        """Delete data files referenced by NO remaining snapshot and no
+        staged entry — the Iceberg ``remove_orphan_files`` analogue for
+        crash leftovers, overwritten tables, and compaction's old file
+        sets (without this, every compact_table run leaks a full table
+        copy).  ``grace_seconds`` skips recently-modified files so an
+        in-flight stage_write that has written parquet but not yet
+        registered its entries is never swept (same rationale as
+        Iceberg's ``older_than``); pass 0 only when no writer can be
+        active.  Also removes write directories left with no parquet
+        (e.g. Spark ``_SUCCESS`` markers)."""
+        live: set[str] = set()
+        for sid in self.snapshots():
+            snap = self.load_snapshot(sid)
+            for ents in snap.tables.values():
+                for e in ents:
+                    live.add(os.path.normpath(_entry_path(e)))
+        with self._lock:
+            for ents in self._staged.values():
+                for e in ents:
+                    live.add(os.path.normpath(_entry_path(e)))
+        cutoff = time.time() - grace_seconds
+        removed_files = 0
+        removed_bytes = 0
+        for cur_dir, _dirs, names in os.walk(self._data_dir, topdown=False):
+            for name in names:
+                full = os.path.join(cur_dir, name)
+                rel = os.path.normpath(os.path.relpath(full, self.root))
+                if rel in live:
+                    continue
+                try:
+                    st = os.stat(full)
+                except OSError:
+                    continue
+                if st.st_mtime > cutoff:
+                    continue
+                if name.endswith(".parquet") or name.startswith("_"):
+                    os.remove(full)
+                    removed_files += 1
+                    removed_bytes += st.st_size
+            try:  # drop dirs emptied by the sweep (best effort)
+                if cur_dir != self._data_dir and not os.listdir(cur_dir):
+                    os.rmdir(cur_dir)
+            except OSError:
+                pass
+        return {"removed_files": removed_files,
+                "removed_bytes": removed_bytes, "live_files": len(live)}
